@@ -1,0 +1,79 @@
+"""Tokenizer parity suite (SURVEY.md §5 tier 1, §7.4.2).
+
+Oracle = pure-Python chain (yaii standardTokenizer + stopwordFilter
+semantics); engine path = pandas UDF through a real Spark roundtrip.
+Byte-identical token streams required, incl. Unicode edges.
+"""
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from yaii_spark.analyzer import (
+    STOPWORDS,
+    remove_stopwords,
+    tokenize,
+    tokenize_all_field,
+    with_all_tokens,
+    with_tokens,
+)
+
+FIXTURES = [
+    "lorem ipsum",
+    "dolor",
+    "this is a demo",
+    "and it is working",
+    "  Leading   spaces\tand-hyphens,commas;colons:dots. ",
+    "MiXeD CaSe ÉTÉ Straße İstanbul",
+    "ufg about test",
+    "",
+    "   ",
+    "-leading-separator",
+    "a-b-c;d.e,f:g",
+]
+
+
+def test_tokenize_goldens():
+    assert tokenize("lorem ipsum") == ["lorem", "ipsum"]
+    # trailing '.' after trim → trailing empty token (JS split semantics)
+    assert tokenize("  Leading   spaces\tand-hyphens,commas;colons:dots. ") == [
+        "leading", "spaces", "and", "hyphens", "commas", "colons", "dots", "",
+    ]
+    assert tokenize("") == [""]
+    assert tokenize("   ") == [""]
+    assert tokenize("-x") == ["", "x"]
+
+
+def test_stopword_list_exact():
+    # 119 words + '' (stopwords-filter.ts:4-138)
+    assert len(STOPWORDS) == 120
+    assert "about" in STOPWORDS and "" in STOPWORDS
+    assert "ufg" not in STOPWORDS
+
+
+def test_all_field_chain():
+    # test-index.ts:303-307 — 'about' never reaches the catch-all
+    assert tokenize_all_field("ufg about test") == ["ufg", "test"]
+
+
+def test_spark_udf_parity(spark):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(FIXTURES)], "id long, text string")
+    rows = {
+        r.id: (r.tokens, r.all_tokens)
+        for r in with_all_tokens(with_tokens(df)).collect()
+    }
+    for i, t in enumerate(FIXTURES):
+        assert rows[i][0] == tokenize(t), f"tokens mismatch on {t!r}"
+        assert rows[i][1] == tokenize_all_field(t), f"all_tokens mismatch on {t!r}"
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.text(max_size=80))
+def test_tokenize_invariants(s):
+    toks = tokenize(s)
+    assert isinstance(toks, list) and len(toks) >= 1
+    for t in toks:
+        assert t == t.lower()
+        assert not re.search(r"[\s\-,;:.]", t)
+    assert all(t not in STOPWORDS for t in remove_stopwords(toks))

@@ -1,0 +1,62 @@
+"""Delta+varint codec round-trips, incl. hypothesis property tests
+(fills yaii's empty property-test slot, SURVEY.md §5)."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from yaii_spark.codec import (
+    decode_positions,
+    delta_decode,
+    delta_encode,
+    encode_positions,
+    varint_decode,
+    varint_encode,
+)
+
+
+def test_varint_roundtrip_basic():
+    a = np.array([0, 1, 127, 128, 16383, 16384, 2**32, 2**63], dtype=np.uint64)
+    assert (varint_decode(varint_encode(a)) == a).all()
+
+
+def test_empty():
+    assert varint_encode(np.empty(0, dtype=np.uint64)) == b""
+    assert varint_decode(b"").size == 0
+    assert delta_decode(delta_encode(np.empty(0, dtype=np.uint64))).size == 0
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=200))
+def test_varint_roundtrip_prop(vals):
+    a = np.array(vals, dtype=np.uint64)
+    assert (varint_decode(varint_encode(a)) == a).all()
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.sets(st.integers(min_value=0, max_value=2**62), max_size=200))
+def test_delta_roundtrip_prop(ids):
+    a = np.array(sorted(ids), dtype=np.uint64)
+    assert (delta_decode(delta_encode(a)) == a).all()
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=10000), min_size=1, max_size=20),
+        max_size=30,
+    )
+)
+def test_positions_roundtrip_prop(poslists):
+    poslists = [sorted(set(p)) or [0] for p in poslists]
+    tfs = np.array([len(p) for p in poslists], dtype=np.int64)
+    dec = decode_positions(encode_positions(poslists), tfs)
+    assert len(dec) == len(poslists)
+    for got, want in zip(dec, poslists):
+        assert (got == np.array(want, dtype=np.uint64)).all()
+
+
+def test_varint_compresses_small_deltas():
+    ids = np.arange(0, 100000, 3, dtype=np.uint64)
+    enc = delta_encode(ids)
+    assert len(enc) < ids.size * 1.1  # ~1 byte per docID for dense lists

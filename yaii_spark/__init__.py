@@ -1,0 +1,21 @@
+"""yaii_spark — a PySpark-native inverted-index + BM25 engine.
+
+A brand-new engine (NOT a port) with the query and data-processing
+capabilities of the reference `gpicron/yaii` (boolean retrieval over an
+inverted index; Lucene/ElasticSearch design base), re-expressed Spark-first:
+
+- DataFrame/SQL pipelines; Catalyst does predicate pushdown, column
+  pruning, partial/final aggregation, top-k (`TakeOrderedAndProject`).
+- Vectorized Arrow / pandas UDFs for the parts Spark can't express:
+  exact yaii tokenizer semantics, delta+varint posting-list codecs,
+  per-segment posting-set algebra and the block-max BM25 scorer.
+- Parquet segment storage (Iceberg-compatible layout; catalog is a thin
+  abstraction, see `storage.py`).
+
+Reference parity map lives in SURVEY.md §2; every module docstring cites
+the reference file:line it re-expresses.
+"""
+
+__version__ = "0.1.0"
+
+from yaii_spark.session import get_spark  # noqa: F401

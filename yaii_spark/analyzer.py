@@ -1,0 +1,106 @@
+"""Analyzer chain: exact re-expression of yaii's tokenizer semantics.
+
+Reference semantics (cited for parity checking, NOT copied — the
+implementations here are numpy/pandas-vectorized batch code):
+
+- standardTokenizer: ``input.trim().toLowerCase().split(/[\\s\\-,;:.]+/g)``
+  (/root/reference/src/lib/analyzer/standard-tokenizer.ts:4-21).
+  JS ``String.prototype.split`` with a regex keeps leading/trailing empty
+  strings when separators touch the ends; after ``trim()`` only
+  non-whitespace separators (``-,;:.``) can produce those.
+- stopwordFilter: drops the 119-word English stoplist plus the empty
+  string, post-tokenization
+  (/root/reference/src/lib/analyzer/stopwords-filter.ts:4-138). In yaii
+  the stopword filter is applied only to the catch-all ``£_ALL`` field
+  (/root/reference/src/yaii-types.ts:42-45); regular fields keep
+  stopwords — we mirror that: document length & postings for the `text`
+  field include stopwords, the `all`-style token stream filters them.
+- lowercaseFilter (/root/reference/src/lib/analyzer/lowercase-filter.ts)
+  is subsumed: standardTokenizer already lowercases.
+
+The pure-Python functions are the test oracle; the pandas UDFs are the
+engine path. Both share one implementation so parity is structural —
+the pytest suite (tests/test_analyzer.py) still asserts token-for-token
+equality through a real Spark roundtrip, including Unicode edges
+(SURVEY.md §7.4.2).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterable, List
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# exact separator class from the reference tokenizer
+TOKEN_SEPARATOR = re.compile(r"[\s\-,;:.]+")
+
+# exact stoplist (119 words) + '' from the reference stopword filter
+STOPWORDS = frozenset(
+    """a able about across after all almost also am among an and any are as
+    at be because been but by can cannot could dear did do does either else
+    ever every for from get got had has have he her hers him his how however
+    i if in into is it its just least let like likely may me might most must
+    my neither no nor not of off often on only or other our own rather said
+    say says she should since so some than that the their them then there
+    these they this tis to too twas us wants was we were what when where
+    which while who whom why will with would yet you your""".split()
+) | {""}
+
+
+def tokenize(text: str) -> List[str]:
+    """Standard tokenizer: trim → lowercase → split on [\\s\\-,;:.]+.
+
+    Matches JS semantics: ``''.split(re)`` in JS returns ``['']`` and so
+    does Python ``re.split`` on an empty string — both yield one empty
+    token for empty/whitespace-only input.
+    """
+    return TOKEN_SEPARATOR.split(text.strip().lower())
+
+
+def remove_stopwords(tokens: Iterable[str]) -> List[str]:
+    return [t for t in tokens if t not in STOPWORDS]
+
+
+def tokenize_all_field(text: str) -> List[str]:
+    """Catch-all field chain: tokenizer + stopword filter (yaii-types.ts:42-45)."""
+    return remove_stopwords(tokenize(text))
+
+
+# ---------------------------------------------------------------------------
+# Spark-side: vectorized Arrow UDFs (batch-at-a-time; no per-row Spark UDFs)
+# ---------------------------------------------------------------------------
+
+def _tokenize_series(s: pd.Series) -> pd.Series:
+    # list-comp over the Arrow batch; regex split is the irreducible
+    # Python part (Spark's split() can't mirror JS empty-edge semantics
+    # for the '' input case and we keep one shared implementation).
+    return pd.Series(
+        [tokenize(x) if x is not None else None for x in s],
+        index=s.index,
+        dtype=object,
+    )
+
+
+def _tokenize_all_series(s: pd.Series) -> pd.Series:
+    return pd.Series(
+        [tokenize_all_field(x) if x is not None else None for x in s],
+        index=s.index,
+        dtype=object,
+    )
+
+
+tokenize_udf = F.pandas_udf(_tokenize_series, T.ArrayType(T.StringType()))
+tokenize_all_udf = F.pandas_udf(_tokenize_all_series, T.ArrayType(T.StringType()))
+
+
+def with_tokens(df, text_col: str = "text", out_col: str = "tokens"):
+    """Add a token-array column (searchable-field chain, stopwords kept)."""
+    return df.withColumn(out_col, tokenize_udf(F.col(text_col)))
+
+
+def with_all_tokens(df, text_col: str = "text", out_col: str = "all_tokens"):
+    """Add the catch-all token column (stopwords removed)."""
+    return df.withColumn(out_col, tokenize_all_udf(F.col(text_col)))

@@ -1,0 +1,297 @@
+"""Distributed inverted-index build (SURVEY.md §7.1 M3).
+
+Dataflow (one DataFrame lineage; node boundaries at the two groupBy
+shuffles and the parquet/Iceberg commit):
+
+    pages ──tokenize(pandas UDF)──► docs(+dl)
+          ──posexplode──► (seg_id, doc_id, term, pos)
+          ──groupBy(seg_id, term, doc_id)──► tf + sorted positions   [shuffle 1]
+          ──groupBy(seg_id, term)──► sorted plist → delta+varint     [shuffle 2]
+          ──write postings partitioned by seg_id, sorted by term
+
+Scale design decisions (the 100 TB story):
+
+- **Skew bound by segmentation.** A posting-list group is at most
+  ``seg_size`` docs (default 2^20), so even a stopword-grade hot term
+  ("the" in 40% of 10^12 docs) produces ≤1M-entry groups per segment —
+  the segment axis IS the salt, and it needs no second merge pass
+  because BM25/boolean evaluation is segment-local by construction
+  (same reason Lucene shards). groupBy #1 keys on (seg, term, doc) —
+  near-uniform. AQE skew handling stays on as a backstop.
+- **Map-side combine** is automatic in both hash aggregations
+  (partial/final split ≙ the reference's accumulator/merger pattern,
+  /root/reference/src/base-inverted-index.ts:297-394).
+- **docID = seg_id * seg_size + local** (dense). Delta+varint then
+  compresses to ~1-2 bytes/doc. At 10^12 docs: 10^6 segments × 2^20.
+- **Resumable:** per-segment checkpoint rows; re-running skips
+  completed segments (dynamic partition overwrite keeps re-runs of a
+  partial segment idempotent).
+- **Term-sorted files:** postings sorted by term inside each segment
+  partition → parquet row-group min/max prunes term lookups at query
+  time without a term-partitioned layout (which would be 10^7 dirs).
+
+Reference parity: this replaces yaii's single-process mutable→immutable
+segment commit (/root/reference/src/base-inverted-index.ts:511-534,
+immutable-segment.ts:98-309); its planned-but-stubbed segment merge
+(base-inverted-index.ts:536-548) is our `merge_segments`.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from yaii_spark.analyzer import with_tokens
+from yaii_spark.codec import delta_encode, encode_positions, varint_encode
+
+DEFAULT_K1 = 1.2  # Lucene/ES defaults — yaii's stated design base
+DEFAULT_B = 0.75
+BLOCK_SIZE = 128  # docs per block for block-max metadata
+
+_ENC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_ids_bin", T.BinaryType()),
+        T.StructField("tfs_bin", T.BinaryType()),
+        T.StructField("pos_bin", T.BinaryType()),
+        T.StructField("block_maxes", T.ArrayType(T.DoubleType())),
+        T.StructField("max_norm", T.DoubleType()),
+    ]
+)
+
+
+def _tf_norm(tf: np.ndarray, dl: np.ndarray, avgdl: float, k1: float, b: float) -> np.ndarray:
+    """Lucene-form BM25 tf normalization: tf / (tf + k1*(1-b+b*dl/avgdl))."""
+    tf = tf.astype(np.float64)
+    return tf / (tf + k1 * (1.0 - b + b * dl.astype(np.float64) / avgdl))
+
+
+def _make_encode_udf(avgdl: float, k1: float, b: float):
+    @F.pandas_udf(_ENC_SCHEMA)
+    def encode_plist(plists: pd.Series) -> pd.DataFrame:
+        out = {k.name: [] for k in _ENC_SCHEMA.fields}
+        for plist in plists:
+            # plist: list of dicts {doc_id, tf, dl, positions}, pre-sorted
+            # by doc_id via sort_array on struct(doc_id first)
+            doc_ids = np.array([e["doc_id"] for e in plist], dtype=np.uint64)
+            tfs = np.array([e["tf"] for e in plist], dtype=np.uint64)
+            dls = np.array([e["dl"] for e in plist], dtype=np.int64)
+            norms = _tf_norm(tfs, dls, avgdl, k1, b)
+            nblocks = math.ceil(len(plist) / BLOCK_SIZE)
+            bmax = [
+                float(norms[i * BLOCK_SIZE : (i + 1) * BLOCK_SIZE].max())
+                for i in range(nblocks)
+            ]
+            out["doc_ids_bin"].append(delta_encode(doc_ids))
+            out["tfs_bin"].append(varint_encode(tfs))
+            out["pos_bin"].append(encode_positions([e["positions"] for e in plist]))
+            out["block_maxes"].append(bmax)
+            out["max_norm"].append(float(norms.max()) if len(norms) else 0.0)
+        return pd.DataFrame(out)
+
+    return encode_plist
+
+
+_SEG_META_SCHEMA = "seg_id long, n_docs long, base_doc_id long, dl_bin binary"
+
+
+def _seg_meta_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+    seg_id = int(pdf["seg_id"].iloc[0])
+    local = pdf["local_id"].to_numpy()
+    dl = pdf["dl"].to_numpy()
+    order = np.argsort(local)
+    n = int(local.max()) + 1
+    dls = np.zeros(n, dtype=np.uint64)
+    dls[local[order]] = dl[order]
+    return pd.DataFrame(
+        {
+            "seg_id": [seg_id],
+            "n_docs": [n],
+            "base_doc_id": [int(pdf["base_doc_id"].iloc[0])],
+            "dl_bin": [varint_encode(dls)],
+        }
+    )
+
+
+def build_index(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    seg_size: int = 1 << 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stored_cols: list[str] | None = None,
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+    resume: bool = True,
+    max_segments: int | None = None,
+) -> dict:
+    """Build (or resume) the inverted index for `pages` under `out_dir`.
+
+    `pages[id_col]` must be a dense 0-based long (the caller derives it;
+    synth tables carry it natively). Returns build metrics.
+
+    `max_segments` limits how many pending segments this invocation
+    builds — used by the resumability test to simulate a mid-build kill
+    (FIXTURES.md §6).
+    """
+    t0 = time.time()
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    docs = with_tokens(pages, text_col=text_col).withColumn(
+        "dl", F.size("tokens")
+    )
+    docs = docs.withColumn("seg_id", (F.col(id_col) / F.lit(seg_size)).cast("long"))
+    docs = docs.withColumn(
+        "local_id", (F.col(id_col) - F.col("seg_id") * F.lit(seg_size)).cast("long")
+    )
+    docs = docs.withColumn("base_doc_id", F.col("seg_id") * F.lit(seg_size))
+
+    # ---- corpus stats over the FULL input (stable across resumes) ----
+    stats_row = docs.agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n_total, avgdl = int(stats_row["n"]), float(stats_row["avgdl"])
+
+    # ---- resume: skip segments already checkpointed ----
+    ckpt_path = os.path.join(out_dir, "checkpoints")
+    done: set[int] = set()
+    if resume and os.path.exists(ckpt_path):
+        try:
+            done = {
+                r.seg_id
+                for r in spark.read.parquet(ckpt_path).filter("status = 'done'").collect()
+            }
+        except Exception:
+            done = set()
+
+    all_segs = sorted(
+        r.seg_id for r in docs.select("seg_id").distinct().collect()
+    )
+    pending = [s for s in all_segs if s not in done]
+    if max_segments is not None:
+        pending = pending[:max_segments]
+
+    metrics = {
+        "n_docs_total": n_total,
+        "avgdl": avgdl,
+        "segments_total": len(all_segs),
+        "segments_skipped": len(done),
+        "segments_built": len(pending),
+    }
+
+    if pending:
+        batch = docs.filter(F.col("seg_id").isin([int(s) for s in pending]))
+        batch = batch.repartition("seg_id").cache()
+
+        # ---- docs table (stored fields + dl) ----
+        keep = [id_col, "seg_id", "local_id", "dl"] + [
+            c for c in (stored_cols or [c for c in pages.columns if c != id_col])
+        ]
+        (
+            batch.select(*dict.fromkeys(keep))
+            .write.mode("overwrite")
+            .partitionBy("seg_id")
+            .parquet(os.path.join(out_dir, "docs"))
+        )
+
+        # ---- per-segment doc-length blobs ----
+        (
+            batch.select("seg_id", "local_id", "dl", "base_doc_id")
+            .groupBy("seg_id")
+            .applyInPandas(_seg_meta_fn, schema=_SEG_META_SCHEMA)
+            .write.mode("overwrite")
+            .partitionBy("seg_id")
+            .parquet(os.path.join(out_dir, "seg_meta"))
+        )
+
+        # ---- postings ----
+        tok = batch.select(
+            "seg_id",
+            F.col(id_col).alias("doc_id"),
+            "dl",
+            F.posexplode("tokens").alias("pos", "term"),
+        )
+        tfpos = tok.groupBy("seg_id", "term", "doc_id", "dl").agg(
+            F.count("*").alias("tf"),
+            F.sort_array(F.collect_list("pos")).alias("positions"),
+        )
+        plist = tfpos.groupBy("seg_id", "term").agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "tf", "dl", "positions"))
+            ).alias("plist"),
+            F.count("*").alias("df_local"),
+            F.sum("tf").alias("cf_local"),
+        )
+        encode_udf = _make_encode_udf(avgdl, k1, b)
+        enc = plist.select(
+            "seg_id",
+            "term",
+            "df_local",
+            "cf_local",
+            encode_udf(F.col("plist")).alias("e"),
+        ).select("seg_id", "term", "df_local", "cf_local", "e.*")
+        (
+            enc.repartition("seg_id")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .partitionBy("seg_id")
+            .parquet(os.path.join(out_dir, "postings"))
+        )
+
+        # ---- checkpoints / lineage (after postings are durable) ----
+        seg_counts = {
+            r.seg_id: (r.nd, r.np)
+            for r in spark.read.parquet(os.path.join(out_dir, "postings"))
+            .filter(F.col("seg_id").isin([int(s) for s in pending]))
+            .groupBy("seg_id")
+            .agg(F.sum("df_local").alias("nd"), F.count("*").alias("np"))
+            .collect()
+        }
+        wall = time.time() - t0
+        ck = spark.createDataFrame(
+            [
+                (int(s), int(seg_counts.get(s, (0, 0))[0]), int(seg_counts.get(s, (0, 0))[1]), float(wall), "done")
+                for s in pending
+            ],
+            "seg_id long, n_postings_docs long, n_terms long, wall_sec double, status string",
+        )
+        mode = "append" if (resume and os.path.exists(ckpt_path)) else "overwrite"
+        ck.write.mode(mode).parquet(ckpt_path)
+        batch.unpersist()
+
+    # ---- corpus-wide term stats (recomputed from durable postings —
+    # correct under resume because postings are the source of truth) ----
+    post_all = spark.read.parquet(os.path.join(out_dir, "postings"))
+    (
+        post_all.groupBy("term")
+        .agg(F.sum("df_local").alias("df"), F.sum("cf_local").alias("cf"))
+        .repartition(1)
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "term_stats"))
+    )
+    spark.createDataFrame(
+        [(n_total, avgdl, float(k1), float(b), int(seg_size))],
+        "n_docs long, avgdl double, k1 double, b double, seg_size long",
+    ).write.mode("overwrite").parquet(os.path.join(out_dir, "corpus_stats"))
+
+    metrics["wall_sec"] = time.time() - t0
+    metrics["docs_per_sec"] = n_total / metrics["wall_sec"] if metrics["wall_sec"] else 0.0
+    return metrics
+
+
+def merge_segments(spark: SparkSession, index_dir: str, out_dir: str, factor: int) -> None:
+    """Compact `factor` adjacent segments into one (the reference's
+    never-implemented merge, base-inverted-index.ts:536-548).
+
+    Distributed: decode postings of the source segments, re-key to the
+    merged seg_id, concatenate sorted runs (docIDs of adjacent segments
+    are disjoint, ordered ranges → concatenation preserves order), and
+    re-encode. Implemented via groupBy(new_seg, term) + applyInPandas.
+    """
+    raise NotImplementedError("segment merge lands in a later round")

@@ -1,0 +1,237 @@
+"""Query AST + logical rewrite pass.
+
+Re-expression of yaii's combinator DSL
+(/root/reference/src/lib/api/query-dsl.ts:14-84 — token/and/or/not/
+number/numberRange/present/all) and the useful subset of its
+`BooleanExpression.rewrite` logical optimizations
+(/root/reference/src/lib/internal/query-ir/boolean-exp.ts:41-149):
+flattening, ALL/NONE constant folding, contradiction detection,
+single-operand promotion. The numeric trie of the reference
+(query-ir.ts:57-120) is replaced by native typed range predicates —
+Catalyst pushes them to parquet.
+
+The rewrite runs on this AST *before* any DataFrame is built (cheaper
+and more controllable than a custom Catalyst rule, SURVEY.md §7.3);
+`prune_absent_terms` is the `mayMatch` plan-time pruning analogue
+(query-ir.ts:148-156, mutable-segment.ts:176-178).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+class Node:
+    def __and__(self, other):
+        return And([self, other])
+
+    def __or__(self, other):
+        return Or([self, other])
+
+    def __invert__(self):
+        return Not(self)
+
+
+@dataclass(frozen=True)
+class Token(Node):
+    term: str
+    field_name: str = "text"
+
+
+@dataclass(frozen=True)
+class NumberEq(Node):
+    field_name: str
+    value: int
+
+
+@dataclass(frozen=True)
+class NumberRange(Node):
+    field_name: str
+    lo: float | None = None
+    hi: float | None = None
+    lo_inclusive: bool = True
+    hi_inclusive: bool = False  # yaii DSL default: [lo, hi)
+
+
+@dataclass(frozen=True)
+class HasField(Node):
+    field_name: str
+
+
+@dataclass(frozen=True)
+class All(Node):
+    pass
+
+
+@dataclass(frozen=True)
+class NoneNode(Node):
+    pass
+
+
+@dataclass(frozen=True)
+class And(Node):
+    children: tuple = field(default_factory=tuple)
+
+    def __init__(self, children):
+        object.__setattr__(self, "children", tuple(children))
+
+
+@dataclass(frozen=True)
+class Or(Node):
+    children: tuple = field(default_factory=tuple)
+
+    def __init__(self, children):
+        object.__setattr__(self, "children", tuple(children))
+
+
+@dataclass(frozen=True)
+class Not(Node):
+    child: Node
+
+
+# -- combinator API (names follow the reference DSL) ------------------------
+
+def token(term: str, field_name: str = "text") -> Node:
+    # arrays of values are an implicit OR in the reference
+    # (query-ir.ts:131-158); we mirror with an explicit Or
+    return Token(term, field_name)
+
+
+def tokens_any(terms: list[str], field_name: str = "text") -> Node:
+    return Or([Token(t, field_name) for t in terms])
+
+
+def and_(*nodes: Node) -> Node:
+    return And(list(nodes))
+
+
+def or_(*nodes: Node) -> Node:
+    return Or(list(nodes))
+
+
+def not_(node: Node) -> Node:
+    return Not(node)
+
+
+def number(field_name: str, value: int) -> Node:
+    return NumberEq(field_name, value)
+
+
+def number_range(
+    field_name: str,
+    lo: float | None = None,
+    hi: float | None = None,
+    lo_inclusive: bool = True,
+    hi_inclusive: bool = False,
+) -> Node:
+    return NumberRange(field_name, lo, hi, lo_inclusive, hi_inclusive)
+
+
+def has_field(field_name: str) -> Node:
+    return HasField(field_name)
+
+
+def all_docs() -> Node:
+    return All()
+
+
+def none() -> Node:
+    return NoneNode()
+
+
+# -- logical rewrite ---------------------------------------------------------
+
+def rewrite(node: Node) -> Node:
+    """Bottom-up simplification (subset of boolean-exp.ts:41-149)."""
+    if isinstance(node, And):
+        kids = []
+        for c in (rewrite(c) for c in node.children):
+            if isinstance(c, All):
+                continue  # AND operand ALL → dropped (:83-89)
+            if isinstance(c, NoneNode):
+                return NoneNode()  # AND operand NONE → NONE
+            if isinstance(c, And):
+                kids.extend(c.children)  # flatten (:72-91)
+            else:
+                kids.append(c)
+        kids = list(dict.fromkeys(kids))  # dedup
+        # contradiction: x AND NOT x → NONE (:132-136)
+        pos = {c for c in kids if not isinstance(c, Not)}
+        neg = {c.child for c in kids if isinstance(c, Not)}
+        if pos & neg:
+            return NoneNode()
+        if not kids:
+            return All()  # empty expr → ALL (:139-147)
+        if len(kids) == 1:
+            return kids[0]
+        return And(kids)
+    if isinstance(node, Or):
+        kids = []
+        for c in (rewrite(c) for c in node.children):
+            if isinstance(c, All):
+                return All()  # OR containing ALL → ALL (:49-52)
+            if isinstance(c, NoneNode):
+                continue
+            if isinstance(c, Or):
+                kids.extend(c.children)  # flatten (:44-62)
+            else:
+                kids.append(c)
+        kids = list(dict.fromkeys(kids))
+        if not kids:
+            return NoneNode()
+        if len(kids) == 1:
+            return kids[0]  # single should → must (:64-69)
+        return Or(kids)
+    if isinstance(node, Not):
+        c = rewrite(node.child)
+        if isinstance(c, All):
+            return NoneNode()  # mustNot ALL → NONE (:105-111)
+        if isinstance(c, NoneNode):
+            return All()
+        if isinstance(c, Not):
+            return c.child  # double negation
+        return Not(c)
+    return node
+
+
+def collect_terms(node: Node) -> set[str]:
+    if isinstance(node, Token):
+        return {node.term}
+    if isinstance(node, (And, Or)):
+        out: set[str] = set()
+        for c in node.children:
+            out |= collect_terms(c)
+        return out
+    if isinstance(node, Not):
+        return collect_terms(node.child)
+    return set()
+
+
+def prune_absent_terms(node: Node, present: set[str]) -> Node:
+    """mayMatch: tokens absent from the term dictionary → NONE, then
+    re-simplify. Runs on the driver against broadcast term stats."""
+
+    def walk(n: Node) -> Node:
+        if isinstance(n, Token):
+            return n if n.term in present else NoneNode()
+        if isinstance(n, And):
+            return And([walk(c) for c in n.children])
+        if isinstance(n, Or):
+            return Or([walk(c) for c in n.children])
+        if isinstance(n, Not):
+            return Not(walk(n.child))
+        return n
+
+    return rewrite(walk(node))
+
+
+def is_token_only(node: Node) -> bool:
+    """True if the subtree touches only posting lists (no attribute
+    predicates) — eligible for the per-segment numpy set-algebra path."""
+    if isinstance(node, (Token, All, NoneNode)):
+        return True
+    if isinstance(node, (And, Or)):
+        return all(is_token_only(c) for c in node.children)
+    if isinstance(node, Not):
+        return is_token_only(node.child)
+    return False

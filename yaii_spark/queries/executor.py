@@ -1,0 +1,224 @@
+"""Boolean query execution.
+
+Two evaluation paths, chosen per subtree (SURVEY.md §7.1 M4):
+
+1. **Token-only subtrees** → per-segment numpy set algebra inside one
+   ``applyInPandas`` task per segment: decoded posting arrays are
+   intersected/unioned/differenced exactly like the reference's
+   DocIdIterable algebra (conjunction leads with the smallest-cost
+   list — /root/reference/src/lib/internal/datastructs/
+   docid-async-iterable/operations.ts:104-164; orMany :12-100;
+   andNot :184-226) but vectorized (np.intersect1d on sorted arrays is
+   the same sort-merge; must/mustNot split mirrors BooleanExpression).
+2. **Attribute predicates** (NumberEq/NumberRange/HasField) → native
+   Catalyst filters on the docs table — predicate pushdown to parquet
+   replaces the reference's numeric trie (query-ir.ts:57-120).
+Mixed trees compose at the DataFrame level: AND = inner join,
+OR = union+distinct, NOT = anti join vs the doc universe.
+
+Plan-time `mayMatch` pruning: query terms are checked against the
+term-stats table on the driver before any executor work
+(prune_absent_terms), so a query with only absent terms never launches
+a stage.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from yaii_spark.codec import delta_decode
+from yaii_spark.queries import ast as A
+from yaii_spark.storage import IndexCatalog
+
+
+def _empty_ids(spark) -> DataFrame:
+    return spark.createDataFrame([], "doc_id long")
+
+
+# ---------------------------------------------------------------------------
+# numpy set algebra over one segment (local doc ids)
+# ---------------------------------------------------------------------------
+
+def _eval_numpy(node: A.Node, postings: dict, n_docs: int) -> np.ndarray:
+    if isinstance(node, A.Token):
+        return postings.get(node.term, np.empty(0, dtype=np.int64))
+    if isinstance(node, A.All):
+        return np.arange(n_docs, dtype=np.int64)
+    if isinstance(node, A.NoneNode):
+        return np.empty(0, dtype=np.int64)
+    if isinstance(node, A.And):
+        # must/mustNot split (boolean-exp.ts:10-19); positives first,
+        # cost-ordered ascending so the smallest list leads (J1)
+        pos = [c for c in node.children if not isinstance(c, A.Not)]
+        neg = [c.child for c in node.children if isinstance(c, A.Not)]
+        if pos:
+            sets = sorted((_eval_numpy(c, postings, n_docs) for c in pos), key=len)
+            acc = sets[0]
+            for s in sets[1:]:
+                if acc.size == 0:
+                    return acc  # short-circuit (operations.ts:166-182)
+                acc = np.intersect1d(acc, s, assume_unique=True)
+        else:
+            acc = np.arange(n_docs, dtype=np.int64)
+        for c in neg:  # andNot (operations.ts:184-226)
+            if acc.size == 0:
+                return acc
+            s = _eval_numpy(c, postings, n_docs)
+            if s.size:
+                acc = np.setdiff1d(acc, s, assume_unique=True)
+        return acc
+    if isinstance(node, A.Or):
+        sets = [_eval_numpy(c, postings, n_docs) for c in node.children]
+        sets = [s for s in sets if s.size]
+        if not sets:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(np.concatenate(sets))  # k-way merge (orMany)
+    if isinstance(node, A.Not):
+        s = _eval_numpy(node.child, postings, n_docs)
+        return np.setdiff1d(np.arange(n_docs, dtype=np.int64), s, assume_unique=True)
+    raise TypeError(f"not a token-only node: {node!r}")
+
+
+def _needs_universe(node: A.Node) -> bool:
+    if isinstance(node, (A.Not, A.All)):
+        return True
+    if isinstance(node, (A.And, A.Or)):
+        return any(_needs_universe(c) for c in node.children)
+    return False
+
+
+def _eval_token_tree(cat: IndexCatalog, node: A.Node) -> DataFrame:
+    """Evaluate a token-only subtree → DataFrame[doc_id]."""
+    spark = cat.spark
+    terms = sorted(A.collect_terms(node))
+    post = cat.postings(terms).select("seg_id", "term", "doc_ids_bin")
+    meta = cat.seg_meta().select("seg_id", "n_docs", "base_doc_id")
+    if _needs_universe(node):
+        # NOT/ALL need every segment, even term-free ones
+        joined = meta.join(post, "seg_id", "left")
+    else:
+        if not terms:
+            return _empty_ids(spark)
+        joined = post.join(meta, "seg_id", "inner")
+
+    def eval_segment(pdf: pd.DataFrame):
+        n_docs = int(pdf["n_docs"].iloc[0])
+        base = int(pdf["base_doc_id"].iloc[0])
+        postings = {
+            t: delta_decode(b).astype(np.int64) - base
+            for t, b in zip(pdf["term"], pdf["doc_ids_bin"])
+            if t is not None and b is not None
+        }
+        ids = _eval_numpy(node, postings, n_docs)
+        return pd.DataFrame({"doc_id": ids + base})
+
+    return joined.groupBy("seg_id").applyInPandas(eval_segment, schema="doc_id long")
+
+
+# ---------------------------------------------------------------------------
+# hybrid DataFrame-level composition
+# ---------------------------------------------------------------------------
+
+def _attr_filter(node: A.Node):
+    if isinstance(node, A.NumberEq):
+        return F.col(node.field_name) == F.lit(node.value)
+    if isinstance(node, A.NumberRange):
+        cond = F.lit(True)
+        c = F.col(node.field_name)
+        if node.lo is not None:
+            cond = cond & (c >= node.lo if node.lo_inclusive else c > node.lo)
+        if node.hi is not None:
+            cond = cond & (c <= node.hi if node.hi_inclusive else c < node.hi)
+        return cond
+    if isinstance(node, A.HasField):
+        return F.col(node.field_name).isNotNull()
+    return None
+
+
+def _eval_hybrid(cat: IndexCatalog, node: A.Node, docs: DataFrame) -> DataFrame:
+    if A.is_token_only(node):
+        if isinstance(node, A.All):
+            return docs.select("doc_id")
+        if isinstance(node, A.NoneNode):
+            return _empty_ids(cat.spark)
+        return _eval_token_tree(cat, node)
+    flt = _attr_filter(node)
+    if flt is not None:
+        return docs.filter(flt).select("doc_id")
+    if isinstance(node, A.And):
+        # push all attribute predicates into ONE docs scan (Catalyst
+        # conjunctive pushdown), token subtrees into one segment pass
+        attr = [c for c in node.children if _attr_filter(c) is not None]
+        rest = [c for c in node.children if _attr_filter(c) is None]
+        acc = None
+        if attr:
+            cond = _attr_filter(attr[0])
+            for c in attr[1:]:
+                cond = cond & _attr_filter(c)
+            acc = docs.filter(cond).select("doc_id")
+        tok = [c for c in rest if A.is_token_only(c)]
+        other = [c for c in rest if not A.is_token_only(c)]
+        if tok:
+            t = tok[0] if len(tok) == 1 else A.And(tok)
+            tdf = _eval_hybrid(cat, t, docs)
+            acc = tdf if acc is None else acc.join(tdf, "doc_id", "inner")
+        for c in other:
+            cdf = _eval_hybrid(cat, c, docs)
+            acc = cdf if acc is None else acc.join(cdf, "doc_id", "inner")
+        return acc if acc is not None else docs.select("doc_id")
+    if isinstance(node, A.Or):
+        dfs = [_eval_hybrid(cat, c, docs) for c in node.children]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.union(d)
+        return out.distinct()
+    if isinstance(node, A.Not):
+        child = _eval_hybrid(cat, node.child, docs)
+        return docs.select("doc_id").join(child, "doc_id", "left_anti")
+    raise TypeError(f"unsupported node: {node!r}")
+
+
+def execute_boolean(cat: IndexCatalog, query: A.Node) -> DataFrame:
+    """Evaluate a boolean query → DataFrame[doc_id] (distinct)."""
+    q = A.rewrite(query)
+    terms = A.collect_terms(q)
+    if terms:
+        present = set(cat.term_stats_for(sorted(terms)).keys())
+        q = A.prune_absent_terms(q, present)
+    if isinstance(q, A.NoneNode):
+        return _empty_ids(cat.spark)
+    docs = cat.docs()
+    return _eval_hybrid(cat, q, docs)
+
+
+def search(
+    cat: IndexCatalog,
+    query: A.Node,
+    sort: list[tuple[str, str]] | None = None,
+    limit: int | None = None,
+    projection: list[str] | None = None,
+) -> DataFrame:
+    """Boolean search with sort/limit/projection (T1-T4, P1).
+
+    sort+limit compiles to Catalyst's TakeOrderedAndProject — the same
+    per-partition-top-k + global-merge the reference hand-rolls
+    (base-inverted-index.ts:430-455).
+    """
+    ids = execute_boolean(cat, query)
+    docs = cat.docs()
+    out = ids.join(docs, "doc_id", "inner")
+    if projection:
+        out = out.select("doc_id", *projection)
+    if sort:
+        out = out.orderBy(
+            *[
+                (F.col(c).desc() if d.lower().startswith("d") else F.col(c).asc())
+                for c, d in sort
+            ],
+            F.col("doc_id").asc(),
+        )
+    if limit is not None:
+        out = out.limit(limit)
+    return out

@@ -1,0 +1,97 @@
+"""Index storage layout + catalog.
+
+Layout (SURVEY.md §7.0). An index directory holds five tables:
+
+    <root>/docs/         docs partitioned by seg_id (stored fields + dl)
+    <root>/postings/     (term, df_local, cf_local, doc_ids_bin, tfs_bin,
+                          pos_bin, block_maxes, max_norm) partitioned by
+                          seg_id, sorted by term within files so parquet
+                          row-group min/max stats prune term lookups
+    <root>/seg_meta/     one row per segment: n_docs, base_doc_id,
+                          dl_bin (varint doc lengths in local-id order)
+    <root>/term_stats/   (term, df, cf) corpus-wide
+    <root>/corpus_stats/ single row: n_docs, avgdl, k1, b, seg_size
+    <root>/checkpoints/  per-segment lineage: seg_id, n_docs, n_postings,
+                          wall_sec, status — resumability (north_rule)
+
+Storage goes through ``spark.read/write.parquet``; on a cluster with an
+Iceberg catalog the same code runs with ``format("iceberg")`` — the
+sandbox image has no Iceberg jars (import-gated in ``iceberg_format``).
+
+The reference's segment == contiguous docID range ``[from, next)``
+(/root/reference/src/lib/internal/segments/segment.ts:12-57); ours is
+``[seg_id*seg_size, seg_id*seg_size + n_docs)`` so posting docIDs stay
+delta-friendly and merges never renumber (SURVEY.md §7.4.4).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def iceberg_format(spark: SparkSession) -> str | None:
+    """Return 'iceberg' when the catalog is configured, else None."""
+    try:
+        if spark.conf.get("spark.sql.catalog.spark_catalog", None):
+            return "iceberg"
+    except Exception:
+        pass
+    return None
+
+
+@dataclass(frozen=True)
+class CorpusStats:
+    n_docs: int
+    avgdl: float
+    k1: float
+    b: float
+    seg_size: int
+
+
+class IndexCatalog:
+    """Read-side handle on an index directory."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    def path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def exists(self) -> bool:
+        return os.path.exists(os.path.join(self.path("corpus_stats"), "_SUCCESS"))
+
+    def corpus_stats(self) -> CorpusStats:
+        row = self.spark.read.parquet(self.path("corpus_stats")).collect()[0]
+        return CorpusStats(
+            n_docs=row.n_docs, avgdl=row.avgdl, k1=row.k1, b=row.b, seg_size=row.seg_size
+        )
+
+    def docs(self) -> DataFrame:
+        return self.spark.read.parquet(self.path("docs"))
+
+    def postings(self, terms: list[str] | None = None) -> DataFrame:
+        df = self.spark.read.parquet(self.path("postings"))
+        if terms is not None:
+            # equality-list predicate pushes to parquet row-group stats
+            df = df.filter(F.col("term").isin(terms))
+        return df
+
+    def seg_meta(self) -> DataFrame:
+        return self.spark.read.parquet(self.path("seg_meta"))
+
+    def term_stats(self) -> DataFrame:
+        return self.spark.read.parquet(self.path("term_stats"))
+
+    def checkpoints(self) -> DataFrame:
+        return self.spark.read.parquet(self.path("checkpoints"))
+
+    def term_stats_for(self, terms: list[str]) -> dict[str, tuple[int, int]]:
+        """Driver-side (df, cf) lookup for a query's terms — the
+        `mayMatch` plan-time pruning analogue (SURVEY.md §2.2 P10):
+        absent terms never reach an executor."""
+        rows = self.term_stats().filter(F.col("term").isin(terms)).collect()
+        return {r.term: (r.df, r.cf) for r in rows}
