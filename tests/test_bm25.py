@@ -1,0 +1,97 @@
+"""BM25 scored-retrieval suite (FIXTURES.md §4): rank-identical top-k
+(doc_id AND score, tol 1e-9) vs the pure-Python oracle, on a seeded
+Zipf corpus large enough that df varies across query terms.
+"""
+
+import pytest
+
+from yaii_spark.indexer import build_index
+from yaii_spark.oracle import BruteForceIndex
+from yaii_spark.queries.bm25 import bm25_topk
+from yaii_spark.storage import IndexCatalog
+from yaii_spark.synth import VOCAB, gen_pages
+
+N_DOCS = 1000
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, work_dir):
+    out = f"{work_dir}/bm25_idx"
+    pages = gen_pages(spark, N_DOCS, include_fixtures=True)
+    texts = {r.doc_id: r.text for r in pages.select("doc_id", "text").collect()}
+    build_index(spark, pages, out, seg_size=256)  # 4 segments
+    return IndexCatalog(spark, out), BruteForceIndex(texts)
+
+
+def _freq_ordered_terms(oracle):
+    from collections import Counter
+
+    df = Counter()
+    for toks in oracle.tokens.values():
+        df.update(set(toks))
+    common = [t for t, _ in df.most_common() if t in VOCAB][:20]
+    rare = [t for t, _ in reversed(df.most_common()) if t in VOCAB][:20]
+    return common, rare
+
+
+def assert_topk_equal(got_rows, want, tol=1e-9):
+    got = [(r.doc_id, r.score) for r in got_rows]
+    assert [g[0] for g in got] == [w[0] for w in want], (got, want)
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert abs(gs - ws) <= tol, (gd, gs, ws)
+
+
+@pytest.mark.parametrize("mode", ["or", "and"])
+def test_bm25_single_and_multi_term(corpus, mode):
+    cat, oracle = corpus
+    common, rare = _freq_ordered_terms(oracle)
+    queries = [
+        [common[0]],
+        [rare[0]],
+        [common[0], common[5]],
+        [common[0], rare[0]],
+        [rare[0], rare[3]],
+        [common[0], common[3], rare[1]],
+    ]
+    for q in queries:
+        got = bm25_topk(cat, q, k=10, mode=mode).collect()
+        want = oracle.bm25_topk(q, k=10, mode=mode)
+        assert_topk_equal(got, want)
+
+
+def test_bm25_absent_term(corpus):
+    cat, oracle = corpus
+    assert bm25_topk(cat, ["zzzznotaterm"], k=5).count() == 0
+    # OR with one absent term: scores as if only present terms queried
+    common, _ = _freq_ordered_terms(oracle)
+    got = bm25_topk(cat, [common[0], "zzzznotaterm"], k=10, mode="or").collect()
+    want = oracle.bm25_topk([common[0], "zzzznotaterm"], k=10, mode="or")
+    assert_topk_equal(got, want)
+    # AND with an absent term: empty
+    assert bm25_topk(cat, [common[0], "zzzznotaterm"], k=5, mode="and").count() == 0
+
+
+def test_bm25_duplicate_terms_scored_once(corpus):
+    cat, oracle = corpus
+    common, _ = _freq_ordered_terms(oracle)
+    a = [(r.doc_id, r.score) for r in bm25_topk(cat, [common[0], common[0]], k=10).collect()]
+    b = [(r.doc_id, r.score) for r in bm25_topk(cat, [common[0]], k=10).collect()]
+    assert a == b
+
+
+def test_bm25_deterministic_across_parallelism(corpus, spark):
+    """Same floats regardless of shuffle partitioning (SURVEY.md §7.4.1)."""
+    cat, _ = corpus
+    common, rare = _freq_ordered_terms(BruteForceIndex({
+        r.doc_id: r.text for r in cat.docs().select("doc_id", "text").collect()
+    }))
+    q = [common[0], rare[0]]
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        a = [(r.doc_id, r.score) for r in bm25_topk(cat, q, k=10).collect()]
+        spark.conf.set("spark.sql.shuffle.partitions", "16")
+        b = [(r.doc_id, r.score) for r in bm25_topk(cat, q, k=10).collect()]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    assert a == b

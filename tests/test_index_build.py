@@ -1,0 +1,93 @@
+"""Index-build pipeline tests: the per-row extraction invariant
+(north_rule), resumable builds (FIXTURES.md §6), and determinism across
+parallelism levels (the sandbox evidence for the two-cluster-size rule).
+"""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from yaii_spark.extract import extract_text, with_extracted_text
+from yaii_spark.indexer import build_index
+from yaii_spark.queries.bm25 import bm25_topk
+from yaii_spark.storage import IndexCatalog
+from yaii_spark.synth import gen_pages, render_html
+
+
+def test_extraction_invariant_roundtrip(spark):
+    """extract(html) == text, byte-identical per url (input_hint)."""
+    pages = gen_pages(spark, 200, include_fixtures=True)
+    mism = (
+        with_extracted_text(pages, out_col="text2")
+        .filter(F.col("text2") != F.col("text"))
+        .count()
+    )
+    assert mism == 0
+    # multi-paragraph round-trip
+    t = "para one\npara two\n\nthird"
+    assert extract_text(render_html(t)) == t
+
+
+def _postings_snapshot(spark, idx_dir):
+    df = spark.read.parquet(f"{idx_dir}/postings").select(
+        "seg_id", "term", "df_local", "cf_local",
+        F.md5(F.hex("doc_ids_bin")).alias("ids_h"),
+        F.md5(F.hex("tfs_bin")).alias("tfs_h"),
+        F.md5(F.hex("pos_bin")).alias("pos_h"),
+    )
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_resume_equals_clean_build(spark, work_dir):
+    """Kill after half the segments; resumed build == clean build."""
+    pages = gen_pages(spark, 400, include_fixtures=False)
+
+    clean = f"{work_dir}/clean_idx"
+    build_index(spark, pages, clean, seg_size=50)  # 8 segments
+
+    resumed = f"{work_dir}/resumed_idx"
+    m1 = build_index(spark, pages, resumed, seg_size=50, max_segments=4)
+    assert m1["segments_built"] == 4
+    m2 = build_index(spark, pages, resumed, seg_size=50)
+    assert m2["segments_skipped"] == 4 and m2["segments_built"] == 4
+
+    assert _postings_snapshot(spark, clean) == _postings_snapshot(spark, resumed)
+    # stats identical too
+    for t in ["term_stats", "corpus_stats", "seg_meta"]:
+        a = sorted(map(str, spark.read.parquet(f"{clean}/{t}").drop("dl_bin").collect()))
+        b = sorted(map(str, spark.read.parquet(f"{resumed}/{t}").drop("dl_bin").collect()))
+        assert a == b, t
+
+
+def test_rerun_is_idempotent(spark, work_dir):
+    pages = gen_pages(spark, 100, include_fixtures=False)
+    idx = f"{work_dir}/idem_idx"
+    build_index(spark, pages, idx, seg_size=40)
+    snap1 = _postings_snapshot(spark, idx)
+    m = build_index(spark, pages, idx, seg_size=40)  # no-op resume
+    assert m["segments_built"] == 0
+    assert _postings_snapshot(spark, idx) == snap1
+
+
+def test_build_deterministic_across_input_partitioning(spark, work_dir):
+    """Same postings bytes whether the input arrives in 2 or 16 partitions
+    — segment identity depends only on doc_id, never on partition layout."""
+    a_dir, b_dir = f"{work_dir}/p2_idx", f"{work_dir}/p16_idx"
+    build_index(spark, gen_pages(spark, 300, partitions=2), a_dir, seg_size=64)
+    build_index(spark, gen_pages(spark, 300, partitions=16), b_dir, seg_size=64)
+    assert _postings_snapshot(spark, a_dir) == _postings_snapshot(spark, b_dir)
+
+    qa = [(r.doc_id, r.score) for r in bm25_topk(IndexCatalog(spark, a_dir), ["hotterm", "the"], k=10).collect()]
+    qb = [(r.doc_id, r.score) for r in bm25_topk(IndexCatalog(spark, b_dir), ["hotterm", "the"], k=10).collect()]
+    assert qa == qb
+
+
+def test_checkpoint_lineage_rows(spark, work_dir):
+    pages = gen_pages(spark, 120, include_fixtures=False)
+    idx = f"{work_dir}/lineage_idx"
+    build_index(spark, pages, idx, seg_size=60)
+    ck = spark.read.parquet(f"{idx}/checkpoints")
+    rows = {r.seg_id: r for r in ck.collect()}
+    assert set(rows) == {0, 1}
+    for r in rows.values():
+        assert r.status == "done" and r.n_terms > 0 and r.wall_sec > 0
