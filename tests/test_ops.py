@@ -1,0 +1,188 @@
+"""Training-pipeline operator tests: dedup, similarity, text analysis,
+multimodal plumbing, aggregation surface."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from yaii_spark.ops.aggregations import (
+    agg_count,
+    agg_first,
+    agg_group_by,
+    agg_last,
+    agg_numeric_buckets,
+)
+from yaii_spark.ops.dedup import (
+    embedding_near_dups,
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard,
+    simhash,
+    simhash_candidates,
+)
+from yaii_spark.ops.multimodal import decode_features, frame_sample_plan, gen_fake_media
+from yaii_spark.ops.similarity import cosine_topk, lsh_ann_topk, with_lsh_bucket
+from yaii_spark.ops.text import with_fingerprint, with_lang_id, with_quality_score, with_token_counts
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a  B c "), (3, "other text"), (4, "a b c")],
+        "doc_id long, text string",
+    )
+    out = {r.content_hash: (r.keep_id, r.n_docs) for r in exact_dedup(df).collect()}
+    assert len(out) == 2
+    assert (1, 3) in out.values() and (3, 1) in out.values()
+
+
+def test_minhash_identical_docs_same_sig(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "the quick brown fox jumps over the lazy dog today"),
+         (3, "completely different text with other tokens entirely here now")],
+        "doc_id long, text string",
+    )
+    sigs = {r.doc_id: tuple(r.sig) for r in minhash_signatures(df).collect()}
+    assert sigs[1] == sigs[2] != sigs[3]
+    pairs = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(df).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_minhash_near_dup_detected(docs):
+    # perturb one document slightly → LSH should pair it with the original
+    base = docs.limit(1).collect()[0]
+    perturbed = base.text.replace(base.text.split()[0], "zzz", 1)
+    extra = docs.sparkSession.createDataFrame(
+        [(99999, perturbed)], "doc_id long, text string"
+    )
+    df = docs.select("doc_id", "text").union(extra)
+    pairs = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(df, num_hashes=16, bands=8).collect()}
+    assert (base.doc_id, 99999) in pairs
+
+
+def test_simhash_hamming(spark, docs):
+    sh = simhash(docs.select("doc_id", "text"))
+    rows = sh.collect()
+    assert len(rows) == docs.count()
+    # identical text → identical simhash → candidates at hamming 0
+    dup = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"), (2, "alpha beta gamma delta epsilon")],
+        "doc_id long, text string",
+    )
+    cands = simhash_candidates(simhash(dup)).collect()
+    assert len(cands) == 1 and cands[0].hamming == 0
+
+
+def test_ngram_jaccard(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "v w x y z")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+    out = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard(df, pairs).collect()}
+    assert out[(1, 2)] == 1.0 and out[(1, 3)] == 0.0
+
+
+def test_cosine_topk_matches_numpy(emb):
+    rows = emb.collect()
+    q = list(rows[0].embedding)
+    mat = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    qv = np.array(q, dtype=np.float64)
+    cos = mat @ qv / (np.linalg.norm(mat, axis=1) * np.linalg.norm(qv))
+    ids = np.array([r.vec_id for r in rows])
+    order = np.lexsort((ids, -np.round(cos, 6)))[:5]
+    want = list(ids[order])
+    got = [r.vec_id for r in cosine_topk(emb, q, k=5).collect()]
+    assert got == want
+    assert got[0] == rows[0].vec_id  # self-match first
+
+
+def test_lsh_ann_recall(emb):
+    rows = emb.collect()
+    q = list(rows[3].embedding)
+    dim = len(q)
+    exact = [r.vec_id for r in cosine_topk(emb, q, k=5).collect()]
+    approx = [
+        r.vec_id
+        for r in lsh_ann_topk(emb, q, dim, k=5, n_planes=4, multiprobe_hamming=2).collect()
+    ]
+    # self must be found; hamming-2 multiprobe over 4 planes covers
+    # 11/16 buckets → decent recall even on near-random vectors
+    assert rows[3].vec_id == approx[0]
+    assert len(set(exact) & set(approx)) >= 2
+    buckets = with_lsh_bucket(emb, dim, 6).select("lsh_bucket").distinct().count()
+    assert buckets > 4  # hashes actually spread
+
+
+def test_text_ops(docs):
+    out = with_fingerprint(
+        with_lang_id(with_quality_score(with_token_counts(docs)))
+    ).limit(50).collect()
+    for r in out:
+        assert r.n_ws_tokens > 0 and r.n_bpe_tokens >= r.n_ws_tokens
+        assert 0.0 <= r.stopword_ratio <= 1.0
+        assert 0.0 <= r.quality_score <= 1.0
+        assert r.lang_pred in {"en", "es", "fr", "de", "und"}
+        assert len(r.fingerprint) == 32
+    # fingerprint is whitespace-insensitive
+    s = docs.sparkSession
+    df = s.createDataFrame([(1, "a  b\tc"), (2, "a b c")], "doc_id long, text string")
+    fps = [r.fingerprint for r in with_fingerprint(df).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_embedding_near_dups_blocked(emb):
+    out = embedding_near_dups(emb, block_col="label", threshold=0.5)
+    rows = out.collect()
+    for r in rows:
+        assert r.id_a < r.id_b and r.cosine >= 0.5
+
+
+def test_multimodal_plumbing(spark):
+    media = gen_fake_media(spark, 20, "image")
+    feats = decode_features(media, fake=True).collect()
+    assert len(feats) == 20
+    assert all(len(r.feature) == 8 for r in feats)
+    # determinism: same payload → same features
+    again = {r.media_id: r.feature for r in decode_features(media, fake=True).collect()}
+    assert all(again[r.media_id] == r.feature for r in feats)
+    # real decode is explicitly stubbed
+    with pytest.raises(Exception):
+        decode_features(media, fake=False).collect()
+    vids = gen_fake_media(spark, 3, "video")
+    plan = frame_sample_plan(vids, every_ms=1000)
+    assert plan.count() == 15  # 5000ms / 1000 per video
+    assert plan.filter("ts_ms = 4000").count() == 3
+
+
+def test_aggregations(spark, work_dir):
+    from yaii_spark.indexer import build_index
+    from yaii_spark.queries import ast as A
+    from yaii_spark.storage import IndexCatalog
+    from yaii_spark.synth import gen_boolean_pages
+
+    idx = f"{work_dir}/agg_idx"
+    build_index(spark, gen_boolean_pages(spark), idx, seg_size=3)
+    cat = IndexCatalog(spark, idx)
+    assert agg_count(cat).collect()[0].n_docs == 4
+    assert agg_count(cat, A.token("abc")).collect()[0].n_docs == 2
+    assert agg_first(cat, "num_attr").collect()[0].doc_id == 12  # min num_attr=20
+    assert agg_last(cat, "num_attr").collect()[0].doc_id == 15
+    g = {r.lang: r.n_docs for r in agg_group_by(cat, "lang").collect()}
+    assert g == {"en": 4}
+    b = {r.bucket: r.n_docs for r in agg_numeric_buckets(cat, "num_attr", 10).collect()}
+    assert b[20] == 2 and b[30] == 1

@@ -1,0 +1,249 @@
+"""Deduplication operators (exact + near-dup) for training-data pipelines.
+
+All scale-sensitive choices are explicit:
+
+- **exact_dedup**: hash-groupBy on md5(normalized text). One shuffle on
+  a 16-byte key; min(doc_id) keeps a deterministic survivor.
+- **minhash_lsh**: word-shingle → k MinHash values → b bands → bucket
+  join. Candidate generation is a self-join on (band_id, band_hash) —
+  the join key is the bucket, so the shuffle is proportional to bucket
+  sizes (bounded by near-dup cluster sizes), never all-pairs. All
+  hashes derive from md5 so the DuckDB oracle can reproduce them
+  exactly; the hash family is (a_j·x + b_j) mod p (universal hashing).
+- **simhash**: 64-bit sign-aggregated token-hash fingerprint; near-dups
+  = small Hamming distance, bucketed by 16-bit chunks (each chunk an
+  exact-match key → candidates shuffle-bounded like LSH).
+- **ngram_jaccard**: exact Jaccard on distinct word n-grams for a
+  candidate pair set (LSH output or adjacent-id probe in tests).
+- **embedding near-dup**: cosine ≥ τ within a blocking key.
+
+Everything is built-in Spark SQL expressions (JVM/codegen) except
+nothing — no Python UDFs needed here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+MINHASH_PRIME = 4294967311  # smallest prime > 2^32
+
+
+def _norm_text(text: Column) -> Column:
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group identical (normalized) texts → (content_hash, keep_id, n_dups)."""
+    return (
+        df.select(F.md5(_norm_text(F.col(text_col))).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_docs"))
+    )
+
+
+def _token_hash(col: Column) -> Column:
+    """Deterministic 32-bit-ish token hash both Spark and DuckDB can
+    compute: first 8 hex chars of md5 as an integer."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def _minhash_params(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal hash family."""
+    rnd = []
+    a, b = 1103515245, 12345
+    x = 42
+    for _ in range(k):
+        x = (a * x + b) % (2**31)
+        aa = (x % (MINHASH_PRIME - 2)) + 1
+        x = (a * x + b) % (2**31)
+        bb = x % MINHASH_PRIME
+        rnd.append((aa, bb))
+    return rnd
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles over whitespace tokens (JVM-side)."""
+    toks = F.split(F.trim(_norm_text(text)), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_hashes: int = 16, shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig: array<long>) MinHash signatures, md5-derived and
+    therefore oracle-reproducible in DuckDB."""
+    params = _minhash_params(num_hashes)
+    sh = word_shingles(F.col(text_col), shingle_n)
+    hcol = F.transform(sh, lambda s: _token_hash(s))
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(hcol, lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME))
+            ).alias(f"mh{j}")
+            for j, (a, b) in enumerate(params)
+        ]
+    )
+    return df.select(F.col(id_col), sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_hashes: int = 16, bands: int = 4, shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) via banded MinHash LSH."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band_id"),
+                F.md5(
+                    F.array_join(
+                        F.transform(
+                            F.slice("sig", bi * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                        ",",
+                    )
+                ).alias("band_hash"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    banded = sigs.select(F.col(id_col), F.explode(band_structs).alias("b")).select(
+        F.col(id_col), F.col("b.band_id"), F.col("b.band_hash")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+    """(id, simhash: long) sign-aggregated token-hash fingerprint.
+
+    bit_i(doc) = sign( Σ_tokens tf·(bit_i(h(token))·2 − 1) ). Uses
+    xxhash64 (JVM) per token; near-dup pairs come from Hamming-distance
+    bucketing on 16-bit chunks (see simhash_candidates).
+    """
+    toks = F.split(F.trim(_norm_text(F.col(text_col))), r"\s+")
+    h = F.transform(toks, lambda t: F.xxhash64(t))
+    bit_sums = [
+        F.aggregate(
+            h,
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + (F.shiftright(x, i).bitwiseAND(F.lit(1)) * 2 - 1),
+        )
+        for i in range(bits)
+    ]
+    sim = None
+    for i, s in enumerate(bit_sums):
+        bit = F.when(s > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        sim = term if sim is None else sim.bitwiseOR(term)
+    return df.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_candidates(sim_df: DataFrame, id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """Near-dup candidates: docs sharing any 16-bit simhash chunk, then
+    exact Hamming filter ≤ max_hamming (pigeonhole over 4 chunks)."""
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk_id"),
+                F.shiftright(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
+            )
+            for c in range(4)
+        ]
+    )
+    ch = sim_df.select(F.col(id_col), F.col("simhash"), F.explode(chunks).alias("c")).select(
+        id_col, "simhash", "c.chunk_id", "c.chunk"
+    )
+    a, b = ch.alias("a"), ch.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return pairs.withColumn("hamming", hamming).filter(F.col("hamming") <= max_hamming).select(
+        "id_a", "id_b", "hamming"
+    )
+
+
+def ngram_jaccard(
+    df: DataFrame, pairs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Exact Jaccard over distinct word n-grams for candidate pairs."""
+    sh = df.select(F.col(id_col), word_shingles(F.col(text_col), n).alias("sh"))
+    out = (
+        pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return out.select(
+        "id_a", "id_b",
+        F.round(inter / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
+    )
+
+
+def embedding_near_dups(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    block_col: str | None = None, threshold: float = 0.95,
+) -> DataFrame:
+    """Pairs with cosine ≥ threshold. With a blocking column the join is
+    per-block (shuffle ∝ block sizes); without, it's all-pairs — only
+    for small dims or LSH-bucketed inputs."""
+    e = emb.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        *( [F.col(block_col)] if block_col else [] ),
+    )
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    a, b = e.alias("a"), e.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda side: F.sqrt(
+        F.aggregate(F.col(f"{side}.v"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    cos = dot / (norm("a") * norm("b"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

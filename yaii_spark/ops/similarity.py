@@ -1,0 +1,92 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: exact baseline; dot products via
+  ``zip_with``/``aggregate`` (JVM, codegen) against a broadcast query
+  vector — a full scan but embarrassingly parallel, no shuffle until
+  the final TakeOrderedAndProject.
+- LSH-bucketed ANN (random hyperplanes): signature via sign(v·h_j) for
+  d deterministic hyperplanes → candidates share a bucket → exact
+  rerank inside buckets. The scale path: the scan prunes to one bucket
+  (partition-prunable if the table is written partitioned by bucket).
+- IVF-style variant: coarse centroids via seeded kmeans on a sample,
+  probe nearest cells — stubbed to LSH until a later round.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+
+def _cos_against(vec: list[float], col="v"):
+    q = F.array(*[F.lit(float(x)) for x in vec])
+    dot = F.aggregate(
+        F.zip_with(F.col(col), q, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    nv = F.sqrt(F.aggregate(F.col(col), F.lit(0.0), lambda a, x: a + x * x))
+    nq = float(np.sqrt(np.dot(vec, vec)))
+    return dot / (nv * F.lit(nq))
+
+
+def cosine_topk(
+    emb: DataFrame, query_vec: list[float], k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k (the correctness baseline)."""
+    e = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    scored = e.select(
+        F.col(id_col), F.round(_cos_against(query_vec), 6).alias("cosine")
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def with_lsh_bucket(
+    emb: DataFrame, dim: int, n_planes: int = 8, seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane signature as an int bucket column (JVM math:
+    per-plane dot product via aggregate over a literal plane array)."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucket = F.lit(0).cast("long")
+    v = F.col(vec_col).cast("array<double>")
+    for j in range(n_planes):
+        h = F.array(*[F.lit(float(x)) for x in planes[j]])
+        dot = F.aggregate(F.zip_with(v, h, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+        bucket = bucket + F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
+    return emb.withColumn("lsh_bucket", bucket)
+
+
+def lsh_ann_topk(
+    emb: DataFrame, query_vec: list[float], dim: int, k: int = 10,
+    n_planes: int = 8, seed: int = 42,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    multiprobe_hamming: int = 1,
+) -> DataFrame:
+    """Approximate top-k: score only vectors whose bucket is within
+    `multiprobe_hamming` bit flips of the query's bucket, exact rerank
+    inside. At scale the bucket column is a partition key → partition
+    pruning turns this into a sub-scan."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    qsig = 0
+    for j in range(n_planes):
+        if float(np.dot(planes[j], query_vec)) > 0:
+            qsig |= 1 << j
+    probes = {qsig}
+    if multiprobe_hamming >= 1:
+        probes |= {qsig ^ (1 << j) for j in range(n_planes)}
+    if multiprobe_hamming >= 2:
+        probes |= {
+            qsig ^ (1 << i) ^ (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        }
+    bucketed = with_lsh_bucket(emb, dim, n_planes, seed, vec_col)
+    cand = bucketed.filter(F.col("lsh_bucket").isin([int(p) for p in probes]))
+    e = cand.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    scored = e.select(F.col(id_col), F.round(_cos_against(query_vec), 6).alias("cosine"))
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
