@@ -1,0 +1,497 @@
+"""Driver-contract queries: engine queries + DuckDB oracle SQL.
+
+Every operator from SURVEY.md §2 that is claimable gets BOTH a
+`queries()` entry (PySpark engine path) and an `oracle_sql()` entry
+(independent ANSI-SQL re-statement DuckDB runs on the same parquet) —
+the driver compares row counts, schemas and value hashes at sf=0.01.
+
+Engine queries over `documents` first build the inverted index into a
+per-(sf_dir) cache under /tmp (once per process, a few seconds at
+sf0.01) and then run the real posting-list machinery — the oracle SQL
+recomputes the same answers relationally from raw text, so the whole
+build→compress→query path is exercised, not just the final predicate.
+
+Column names are aliased identically on both sides (driver hashes
+columns sorted by name).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from yaii_spark.indexer import build_index
+from yaii_spark.ops import dedup as D
+from yaii_spark.ops import similarity as S
+from yaii_spark.ops import text as TX
+from yaii_spark.ops.aggregations import (
+    agg_count,
+    agg_first,
+    agg_group_by,
+    agg_last,
+    agg_numeric_buckets,
+)
+from yaii_spark.queries import ast as A
+from yaii_spark.queries.bm25 import bm25_topk
+from yaii_spark.queries.executor import execute_boolean, search
+from yaii_spark.storage import IndexCatalog
+
+# ---------------------------------------------------------------------------
+# index cache per sf_dir
+# ---------------------------------------------------------------------------
+
+_CACHE_ROOT = os.path.join(tempfile.gettempdir(), "yaii_spark_index_cache")
+
+
+def get_index(spark: SparkSession, sf_dir: str, seg_size: int = 1024) -> IndexCatalog:
+    tag = hashlib.md5(f"{sf_dir}|{seg_size}".encode()).hexdigest()[:12]
+    out = os.path.join(_CACHE_ROOT, tag)
+    cat = IndexCatalog(spark, out)
+    if not cat.exists():
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        build_index(
+            spark,
+            docs,
+            out,
+            seg_size=seg_size,
+            stored_cols=["text", "lang", "source", "n_chars"],
+        )
+    return cat
+
+
+def _docs(spark, sf_dir) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(spark, sf_dir) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _tbl(spark, sf_dir, name) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# SQL fragments -------------------------------------------------------------
+
+_TOK_CTE = (
+    "tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), "
+    "'[\\s\\-,;:.]+') AS toks FROM documents)"
+)
+
+
+def _bm25_sql(terms: list[str], k: int, mode: str) -> str:
+    tl = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    having = (
+        f"HAVING count(DISTINCT term) = {len(set(terms))}" if mode == "and" else ""
+    )
+    return f"""
+WITH {_TOK_CTE},
+dl AS (SELECT doc_id, len(toks)::DOUBLE AS dl FROM tok),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
+  WHERE term IN ({tl}) GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id {having}
+)
+SELECT doc_id, round(s, 6) AS score FROM scores
+ORDER BY s DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def _contains_sql(term: str) -> str:
+    return f"list_contains(toks, '{term}')"
+
+
+_STOPLIST_SQL = None
+
+
+def _stoplist_sql() -> str:
+    global _STOPLIST_SQL
+    if _STOPLIST_SQL is None:
+        from yaii_spark.analyzer import STOPWORDS
+
+        _STOPLIST_SQL = "[" + ", ".join(f"'{w}'" for w in sorted(STOPWORDS - {""})) + "]"
+    return _STOPLIST_SQL
+
+
+# ---------------------------------------------------------------------------
+# engine-side query callables
+# ---------------------------------------------------------------------------
+
+def _round(df: DataFrame, col: str, n: int = 6) -> DataFrame:
+    return df.withColumn(col, F.round(F.col(col), n))
+
+
+def _bool_q(node_fn):
+    def run(spark, sf_dir):
+        return execute_boolean(get_index(spark, sf_dir), node_fn())
+
+    return run
+
+
+def _bm25_q(terms, k=10, mode="or"):
+    def run(spark, sf_dir):
+        out = bm25_topk(get_index(spark, sf_dir), terms, k=k, mode=mode)
+        return _round(out, "score")
+
+    return run
+
+
+def q_sort_limit(spark, sf_dir):
+    cat = get_index(spark, sf_dir)
+    return search(
+        cat, A.all_docs(), sort=[("n_chars", "asc")], limit=10, projection=["n_chars"]
+    )
+
+
+def q_count_filtered(spark, sf_dir):
+    return agg_count(get_index(spark, sf_dir), A.token("dup"))
+
+
+def q_first(spark, sf_dir):
+    return agg_first(get_index(spark, sf_dir), "n_chars")
+
+
+def q_last(spark, sf_dir):
+    return agg_last(get_index(spark, sf_dir), "n_chars")
+
+
+def q_group_by_lang(spark, sf_dir):
+    return agg_group_by(
+        get_index(spark, sf_dir),
+        "lang",
+        sub_aggs={"max_chars": F.max("n_chars"), "min_doc": F.min("doc_id")},
+    )
+
+
+def q_buckets(spark, sf_dir):
+    return agg_numeric_buckets(get_index(spark, sf_dir), "n_chars", 100)
+
+
+def q_dedup_exact(spark, sf_dir):
+    return D.exact_dedup(_docs(spark, sf_dir))
+
+
+def q_minhash_sig(spark, sf_dir):
+    sig = D.minhash_signatures(_docs(spark, sf_dir), num_hashes=4)
+    return sig.select(
+        "doc_id",
+        *[F.element_at("sig", j + 1).alias(f"mh{j}") for j in range(4)],
+    )
+
+
+def q_ngram_jaccard_adjacent(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    pairs = docs.select(F.col("doc_id").alias("id_a")).withColumn(
+        "id_b", F.col("id_a") + 1
+    ).join(
+        docs.select(F.col("doc_id").alias("id_b")), "id_b", "inner"
+    )
+    return D.ngram_jaccard(docs, pairs.select("id_a", "id_b"))
+
+
+def q_simhash(spark, sf_dir):
+    return D.simhash(_docs(spark, sf_dir))
+
+
+def q_cosine_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in emb.filter("vec_id = 0").collect()[0].embedding]
+    return S.cosine_topk(emb.filter("vec_id > 0"), qv, k=5)
+
+
+def q_embedding_neardup(spark, sf_dir):
+    emb = _emb(spark, sf_dir).filter("vec_id < 100")
+    return D.embedding_near_dups(emb, block_col="label", threshold=0.3)
+
+
+def q_token_counts(spark, sf_dir):
+    return TX.with_token_counts(_docs(spark, sf_dir)).select(
+        "doc_id", "n_ws_tokens", "n_bpe_tokens"
+    )
+
+
+def q_quality(spark, sf_dir):
+    return TX.with_quality_score(_docs(spark, sf_dir)).select(
+        "doc_id", "n_tokens", "stopword_ratio", "punct_ratio", "avg_word_len", "quality_score"
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    return TX.with_lang_id(_docs(spark, sf_dir)).select("doc_id", "lang_pred")
+
+
+def q_fingerprint(spark, sf_dir):
+    return TX.with_fingerprint(_docs(spark, sf_dir)).select("doc_id", "fingerprint")
+
+
+def q_tpch_q1(spark, sf_dir):
+    li = _tbl(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(rev).cast("double").alias("sum_revenue"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    c = _tbl(spark, sf_dir, "customer")
+    o = _tbl(spark, sf_dir, "orders")
+    n = _tbl(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def q_window_top2_orders(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    o = _tbl(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 2)
+        .select("o_custkey", "o_orderkey", "rnk")
+    )
+
+
+def q_events_by_type(spark, sf_dir):
+    e = _tbl(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# the contract
+# ---------------------------------------------------------------------------
+
+def queries():
+    return {
+        # boolean retrieval over the inverted index (P2-P7, U1-U3, J1)
+        "q_token": _bool_q(lambda: A.token("dup")),
+        "q_or": _bool_q(lambda: A.or_(A.token("dup"), A.token("key"))),
+        "q_or_miss": _bool_q(lambda: A.or_(A.token("dup"), A.token("zzznone"))),
+        "q_and": _bool_q(lambda: A.and_(A.token("batch"), A.token("small"))),
+        "q_and_not": _bool_q(lambda: A.and_(A.token("merge"), A.not_(A.token("dup")))),
+        "q_and_absent_empty": _bool_q(lambda: A.and_(A.token("dup"), A.token("zzznone"))),
+        "q_not": _bool_q(lambda: A.not_(A.token("batch"))),
+        # attribute predicates (P3-P5)
+        "q_number_eq": _bool_q(lambda: A.number("n_chars", 157)),
+        "q_number_range": _bool_q(lambda: A.number_range("n_chars", 100, 200)),
+        "q_has_field": _bool_q(lambda: A.has_field("lang")),
+        "q_mixed_and": _bool_q(
+            lambda: A.and_(A.token("dup"), A.number_range("n_chars", None, 300))
+        ),
+        # sort/limit/projection (T1-T4, P1)
+        "q_sort_limit": q_sort_limit,
+        # BM25 scored retrieval (M5)
+        "q_bm25_rare": _bm25_q(["dup"]),
+        "q_bm25_mixed": _bm25_q(["dup", "batch"]),
+        "q_bm25_and": _bm25_q(["batch", "small"], mode="and"),
+        # aggregations (A1-A5)
+        "q_count_filtered": q_count_filtered,
+        "q_first": q_first,
+        "q_last": q_last,
+        "q_group_by_lang": q_group_by_lang,
+        "q_buckets": q_buckets,
+        # dedup family
+        "q_dedup_exact": q_dedup_exact,
+        "q_minhash_sig": q_minhash_sig,
+        "q_ngram_jaccard_adjacent": q_ngram_jaccard_adjacent,
+        "q_simhash": q_simhash,  # no SQL oracle: xxhash64 is Spark-side only
+        # similarity search
+        "q_cosine_topk": q_cosine_topk,
+        "q_embedding_neardup": q_embedding_neardup,
+        # text analysis
+        "q_token_counts": q_token_counts,
+        "q_quality": q_quality,
+        "q_lang_id": q_lang_id,
+        "q_fingerprint": q_fingerprint,
+        # relational coverage (joins/windows/aggs over TPC-H-ish tables)
+        "q_tpch_q1": q_tpch_q1,
+        "q_revenue_by_nation": q_revenue_by_nation,
+        "q_window_top2_orders": q_window_top2_orders,
+        "q_events_by_type": q_events_by_type,
+    }
+
+
+def oracle_sql():
+    ids_where = lambda cond: (
+        f"WITH {_TOK_CTE} SELECT doc_id FROM tok WHERE {cond}"
+    )
+    mh = D._minhash_params(4)
+    p = D.MINHASH_PRIME
+    shingle = (
+        "list_distinct(list_transform(range(1, greatest(len(toks)-3, 0) + 2), "
+        "i -> array_to_string(toks[i:i+2], ' ')))"
+    )
+    mh_cols = ", ".join(
+        f"list_min(list_transform(sh, s -> (('0x'||substr(md5(s),1,8))::BIGINT * {a} + {b}) % {p})) AS mh{j}"
+        for j, (a, b) in enumerate(mh)
+    )
+    probes = {k: "[" + ", ".join(f"'{w}'" for w in v) + "]" for k, v in TX.LANG_PROBES.items()}
+    norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+    return {
+        "q_token": ids_where(_contains_sql("dup")),
+        "q_or": ids_where(f"{_contains_sql('dup')} OR {_contains_sql('key')}"),
+        "q_or_miss": ids_where(f"{_contains_sql('dup')} OR {_contains_sql('zzznone')}"),
+        "q_and": ids_where(f"{_contains_sql('batch')} AND {_contains_sql('small')}"),
+        "q_and_not": ids_where(f"{_contains_sql('merge')} AND NOT {_contains_sql('dup')}"),
+        "q_and_absent_empty": ids_where(
+            f"{_contains_sql('dup')} AND {_contains_sql('zzznone')}"
+        ),
+        "q_not": ids_where(f"NOT {_contains_sql('batch')}"),
+        "q_number_eq": "SELECT doc_id FROM documents WHERE n_chars = 157",
+        "q_number_range": "SELECT doc_id FROM documents WHERE n_chars >= 100 AND n_chars < 200",
+        "q_has_field": "SELECT doc_id FROM documents WHERE lang IS NOT NULL",
+        "q_mixed_and": f"WITH {_TOK_CTE} SELECT t.doc_id FROM tok t JOIN documents d USING (doc_id) "
+        f"WHERE {_contains_sql('dup')} AND d.n_chars < 300",
+        "q_sort_limit": "SELECT doc_id, n_chars FROM documents ORDER BY n_chars ASC, doc_id ASC LIMIT 10",
+        "q_bm25_rare": _bm25_sql(["dup"], 10, "or"),
+        "q_bm25_mixed": _bm25_sql(["dup", "batch"], 10, "or"),
+        "q_bm25_and": _bm25_sql(["batch", "small"], 10, "and"),
+        "q_count_filtered": f"WITH {_TOK_CTE} SELECT count(*) AS n_docs FROM tok WHERE {_contains_sql('dup')}",
+        "q_first": "SELECT doc_id, n_chars FROM documents ORDER BY n_chars ASC, doc_id ASC LIMIT 1",
+        "q_last": "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id DESC LIMIT 1",
+        "q_group_by_lang": "SELECT lang, count(*) AS n_docs, max(n_chars) AS max_chars, "
+        "min(doc_id) AS min_doc FROM documents GROUP BY lang",
+        "q_buckets": "SELECT (floor(n_chars / 100) * 100)::BIGINT AS bucket, count(*) AS n_docs "
+        "FROM documents GROUP BY 1",
+        "q_dedup_exact": f"SELECT md5({norm}) AS content_hash, min(doc_id) AS keep_id, "
+        "count(*) AS n_docs FROM documents GROUP BY 1",
+        "q_minhash_sig": f"""
+WITH tok AS (SELECT doc_id, regexp_split_to_array(trim({norm}), '\\s+') AS toks FROM documents),
+sh AS (SELECT doc_id, {shingle} AS sh FROM tok)
+SELECT doc_id, {mh_cols} FROM sh""",
+        "q_ngram_jaccard_adjacent": f"""
+WITH tok AS (SELECT doc_id, regexp_split_to_array(trim({norm}), '\\s+') AS toks FROM documents),
+sh AS (SELECT doc_id, {shingle} AS sh FROM tok)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.sh, b.sh))::DOUBLE
+             / greatest(len(list_distinct(a.sh || b.sh)), 1), 6) AS jaccard
+FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""",
+        "q_cosine_topk": """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_dot_product(embedding::DOUBLE[], q.qv)
+             / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+FROM embeddings, q WHERE vec_id > 0
+ORDER BY list_dot_product(embedding::DOUBLE[], q.qv)
+         / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+            * sqrt(list_dot_product(q.qv, q.qv))) DESC, vec_id ASC
+LIMIT 5""",
+        "q_embedding_neardup": """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 100)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3""",
+        "q_token_counts": r"""
+SELECT doc_id,
+       len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens
+FROM documents""",
+        "q_quality": f"""
+WITH base AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(text), '\\s+') AS toks,
+         length(text) AS nchars
+  FROM documents
+), feat AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         round(len(list_intersect(list_distinct(toks), {_stoplist_sql()}))::DOUBLE
+               / greatest(len(toks), 1), 6) AS stopword_ratio,
+         round((nchars - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+               / greatest(nchars, 1), 6) AS punct_ratio,
+         round(length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE / len(toks), 6) AS avg_word_len
+  FROM base
+)
+SELECT doc_id, n_tokens, stopword_ratio, punct_ratio, avg_word_len,
+       round( least(n_tokens / 64.0, 1.0) * 0.4
+            + least(stopword_ratio * 4.0, 1.0) * 0.3
+            + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.3, 6) AS quality_score
+FROM feat""",
+        "q_lang_id": f"""
+WITH t AS (
+  SELECT doc_id, list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS toks
+  FROM documents
+), hits AS (
+  SELECT doc_id,
+         len(list_intersect(toks, {probes['de']})) AS h_de,
+         len(list_intersect(toks, {probes['en']})) AS h_en,
+         len(list_intersect(toks, {probes['es']})) AS h_es,
+         len(list_intersect(toks, {probes['fr']})) AS h_fr
+  FROM t
+)
+SELECT doc_id,
+       CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+            WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+            WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+            WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+            ELSE 'fr' END AS lang_pred
+FROM hits""",
+        "q_fingerprint": f"SELECT doc_id, md5({norm}) AS fingerprint FROM documents",
+        "q_tpch_q1": """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity::DECIMAL(18,4))::DOUBLE AS sum_qty,
+       sum(l_extendedprice::DECIMAL(18,4))::DOUBLE AS sum_base_price,
+       sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4))::DOUBLE AS sum_revenue,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus""",
+        "q_revenue_by_nation": """
+SELECT n_name AS nation, count(*) AS n_orders,
+       sum(o_totalprice::DECIMAL(18,4))::DOUBLE AS total_revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name""",
+        "q_window_top2_orders": """
+SELECT o_custkey, o_orderkey, rnk FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+  FROM orders
+) WHERE rnk <= 2""",
+        "q_events_by_type": """
+SELECT event_type, count(*) AS n_events,
+       sum(value::DECIMAL(18,4))::DOUBLE AS sum_value,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type""",
+    }
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: BM25 top-10 over the sf0.001 documents corpus."""
+    out = bm25_topk(get_index(spark, "/root/testdata/sf0.001"), ["dup", "batch"], k=10)
+    return _round(out, "score")

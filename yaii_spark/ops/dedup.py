@@ -48,15 +48,18 @@ def _token_hash(col: Column) -> Column:
 
 
 def _minhash_params(k: int) -> list[tuple[int, int]]:
-    """Deterministic (a, b) pairs for the universal hash family."""
+    """Deterministic (a, b) pairs for the universal hash family.
+
+    Kept below 2^20 so a·x with x < 2^32 stays < 2^52 — no 64-bit
+    signed overflow in either Spark or the DuckDB oracle."""
     rnd = []
     a, b = 1103515245, 12345
     x = 42
     for _ in range(k):
         x = (a * x + b) % (2**31)
-        aa = (x % (MINHASH_PRIME - 2)) + 1
+        aa = (x % (2**20 - 1)) + 1
         x = (a * x + b) % (2**31)
-        bb = x % MINHASH_PRIME
+        bb = x % (2**20)
         rnd.append((aa, bb))
     return rnd
 
