@@ -95,3 +95,22 @@ def test_bm25_deterministic_across_parallelism(corpus, spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
     assert a == b
+
+
+def test_bm25_pruned_equals_exact(corpus):
+    """MaxScore/block-max pruning is rank-safe AND byte-identical
+    (winners are rescored in sorted-term order)."""
+    cat, oracle = corpus
+    common, rare = _freq_ordered_terms(oracle)
+    queries = [
+        [common[0]],
+        [common[0], common[5]],
+        [common[0], rare[0]],
+        [common[0], common[1], common[2], rare[2]],
+        [rare[0], rare[1]],
+    ]
+    for q in queries:
+        for k in (3, 10, 50):
+            exact = [(r.doc_id, r.score) for r in bm25_topk(cat, q, k=k, prune=False).collect()]
+            pruned = [(r.doc_id, r.score) for r in bm25_topk(cat, q, k=k, prune=True).collect()]
+            assert exact == pruned, (q, k)

@@ -39,6 +39,104 @@ def idf(n_docs: int, df: int) -> float:
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
 
+_EMPTY = lambda: pd.DataFrame(
+    {"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")}
+)
+
+
+def _score_segment_pruned(
+    pdf: pd.DataFrame,
+    idfs: dict[str, float],
+    k1: float,
+    b: float,
+    avgdl: float,
+    k: int,
+) -> pd.DataFrame:
+    """MaxScore + block-max pruned top-k (mode='or', rank-safe).
+
+    Term-at-a-time in descending upper-bound order. Before adding term
+    i's postings, any candidate whose accumulated score + per-posting
+    block-max bound + remaining terms' upper bounds can't reach the
+    running kth-score threshold is marked dead (it provably cannot
+    enter the top-k). Survivors are then rescored exactly in sorted-term
+    order so output floats are byte-identical to the exact path.
+    """
+    n_docs = int(pdf["n_docs"].iloc[0])
+    base = int(pdf["base_doc_id"].iloc[0])
+    dls = varint_decode(pdf["dl_bin"].iloc[0]).astype(np.float64)
+    term_rows = {}
+    for t, ids_b, tfs_b, bmax in zip(
+        pdf["term"], pdf["doc_ids_bin"], pdf["tfs_bin"], pdf["block_maxes"]
+    ):
+        if t in idfs:
+            ids = delta_decode(ids_b).astype(np.int64) - base
+            tfs = varint_decode(tfs_b).astype(np.float64)
+            term_rows[t] = (ids, tfs, np.asarray(bmax, dtype=np.float64))
+    if not term_rows:
+        return _EMPTY()
+    ubs = {t: idfs[t] * float(bm.max()) for t, (_, _, bm) in term_rows.items()}
+    order = sorted(term_rows, key=lambda t: (-ubs[t], t))
+    suffix = np.concatenate(
+        (np.cumsum([ubs[t] for t in order][::-1])[::-1], [0.0])
+    )  # suffix[i] = Σ ub of order[i:]
+    scores = np.zeros(n_docs, dtype=np.float64)
+    dead = np.zeros(n_docs, dtype=bool)
+    touched: list[np.ndarray] = []
+    theta = -np.inf
+    n_seen = 0
+    BLOCK = 128
+    for i, t in enumerate(order):
+        ids, tfs, bmax = term_rows[t]
+        alive = ~dead[ids]
+        if theta > 0.0 and i > 0:
+            # per-posting block-max bound for THIS term + global ubs of the rest
+            post_ub = idfs[t] * bmax[np.arange(ids.size) // BLOCK]
+            potential = scores[ids] + post_ub + suffix[i + 1]
+            kill = alive & (potential < theta)
+            dead[ids[kill]] = True
+            alive &= ~kill
+        sel = np.flatnonzero(alive)
+        if sel.size:
+            sids = ids[sel]
+            stfs = tfs[sel]
+            norm = stfs / (stfs + k1 * (1.0 - b + b * dls[sids] / avgdl))
+            scores[sids] += idfs[t] * norm
+            touched.append(sids)
+            n_seen += sel.size
+            if n_seen >= k:
+                cand = np.unique(np.concatenate(touched))
+                cand = cand[~dead[cand]]
+                if cand.size >= k:
+                    theta = np.partition(scores[cand], cand.size - k)[cand.size - k]
+    if not touched:
+        return _EMPTY()
+    cand = np.unique(np.concatenate(touched))
+    cand = cand[~dead[cand]]
+    if cand.size == 0:
+        return _EMPTY()
+    s = scores[cand]
+    if cand.size > k:
+        thresh = np.partition(-s, k - 1)[k - 1]
+        keep = np.flatnonzero(-s <= thresh)
+        cand, s = cand[keep], s[keep]
+    order_ix = np.lexsort((cand, -s))[:k]
+    winners = cand[order_ix]
+    # exact rescore in sorted-term order → byte-identical to dense path
+    final = np.zeros(winners.size, dtype=np.float64)
+    for t in sorted(term_rows):
+        ids, tfs, _ = term_rows[t]
+        pos = np.searchsorted(ids, winners)
+        pos = np.clip(pos, 0, ids.size - 1)
+        hit = ids[pos] == winners
+        tf = tfs[pos[hit]]
+        w = winners[hit]
+        final[hit] += idfs[t] * (tf / (tf + k1 * (1.0 - b + b * dls[w] / avgdl)))
+    order2 = np.lexsort((winners, -final))
+    return pd.DataFrame(
+        {"doc_id": (winners[order2] + base).astype(np.int64), "score": final[order2]}
+    )
+
+
 def _score_segment(
     pdf: pd.DataFrame,
     idfs: dict[str, float],
@@ -103,12 +201,18 @@ def bm25_topk(
     if not idfs or (mode == "and" and len(idfs) < len(uniq)):
         return spark.createDataFrame([], "doc_id long, score double")
 
-    post = cat.postings(sorted(idfs)).select("seg_id", "term", "doc_ids_bin", "tfs_bin")
+    cols = ["seg_id", "term", "doc_ids_bin", "tfs_bin"] + (
+        ["block_maxes"] if prune else []
+    )
+    post = cat.postings(sorted(idfs)).select(*cols)
     meta = cat.seg_meta().select("seg_id", "n_docs", "base_doc_id", "dl_bin")
     joined = post.join(meta, "seg_id", "inner")
     k1, b, avgdl = stats.k1, stats.b, stats.avgdl
+    use_prune = prune and mode == "or"
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        if use_prune:
+            return _score_segment_pruned(pdf, idfs, k1, b, avgdl, k)
         return _score_segment(pdf, idfs, k1, b, avgdl, k, mode)
 
     per_seg = joined.groupBy("seg_id").applyInPandas(fn, schema="doc_id long, score double")

@@ -1,0 +1,132 @@
+"""Continuous queries — QueryMode CURRENT / FUTURE / CURRENT_AND_FUTURE.
+
+Reference semantics (/root/reference/src/yaii-types.ts:15-19,
+base-inverted-index.ts:457-489): FUTURE subscribes to "added" batches
+and re-evaluates the boolean filter on each new batch; CURRENT_AND_FUTURE
+concatenates the current snapshot's results with the future stream.
+Sorted FUTURE queries throw (base-inverted-index.ts:431) — we keep the
+exact restriction (Spark can't global-sort an unbounded append stream
+either).
+
+Spark-first mapping: the "added event" stream is a Structured Streaming
+source over the incoming pages directory; the boolean filter is applied
+per micro-batch with the same tokenizer UDF + AST, compiled to a
+relational predicate (new docs aren't in the index yet — exactly like
+the reference, which scans the mutable segment's fresh batch rather
+than committed postings).
+"""
+
+from __future__ import annotations
+
+from enum import Enum
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from yaii_spark.analyzer import tokenize_udf
+from yaii_spark.queries import ast as A
+
+
+class QueryMode(Enum):
+    CURRENT = "current"
+    CURRENT_AND_FUTURE = "current_and_future"
+    FUTURE = "future"
+
+
+def compile_predicate(node: A.Node, tokens_col: str = "_tokens") -> Column:
+    """Compile a boolean AST to a relational Column predicate over a
+    tokenized row — the per-batch evaluation form used for streams
+    (and usable as a full-scan fallback for batch)."""
+    if isinstance(node, A.Token):
+        return F.array_contains(F.col(tokens_col), node.term)
+    if isinstance(node, A.All):
+        return F.lit(True)
+    if isinstance(node, A.NoneNode):
+        return F.lit(False)
+    if isinstance(node, A.And):
+        out = F.lit(True)
+        for c in node.children:
+            out = out & compile_predicate(c, tokens_col)
+        return out
+    if isinstance(node, A.Or):
+        out = F.lit(False)
+        for c in node.children:
+            out = out | compile_predicate(c, tokens_col)
+        return out
+    if isinstance(node, A.Not):
+        return ~compile_predicate(node.child, tokens_col)
+    if isinstance(node, A.NumberEq):
+        return F.col(node.field_name) == F.lit(node.value)
+    if isinstance(node, A.NumberRange):
+        c = F.col(node.field_name)
+        cond = F.lit(True)
+        if node.lo is not None:
+            cond = cond & (c >= node.lo if node.lo_inclusive else c > node.lo)
+        if node.hi is not None:
+            cond = cond & (c <= node.hi if node.hi_inclusive else c < node.hi)
+        return cond
+    if isinstance(node, A.HasField):
+        return F.col(node.field_name).isNotNull()
+    raise TypeError(node)
+
+
+def _filtered(df: DataFrame, query: A.Node, text_col: str) -> DataFrame:
+    q = A.rewrite(query)
+    return (
+        df.withColumn("_tokens", tokenize_udf(F.col(text_col)))
+        .filter(compile_predicate(q))
+        .drop("_tokens")
+    )
+
+
+def continuous_query(
+    spark: SparkSession,
+    query: A.Node,
+    mode: QueryMode,
+    stream_dir: str,
+    schema,
+    current_df: DataFrame | None = None,
+    text_col: str = "text",
+    sort: list | None = None,
+):
+    """Build the (stream, snapshot) pair for a continuous boolean query.
+
+    Returns (streaming_df_or_None, current_result_df_or_None). The
+    caller attaches a sink (memory/foreachBatch) and starts it —
+    keeping start/stop at the edge makes the plan testable.
+    """
+    if sort and mode is not QueryMode.CURRENT:
+        # exact reference restriction (base-inverted-index.ts:431)
+        raise ValueError("future queries cannot have sort clauses")
+
+    stream_df = None
+    if mode in (QueryMode.FUTURE, QueryMode.CURRENT_AND_FUTURE):
+        src = spark.readStream.schema(schema).parquet(stream_dir)
+        stream_df = _filtered(src, query, text_col)
+
+    cur = None
+    if mode in (QueryMode.CURRENT, QueryMode.CURRENT_AND_FUTURE):
+        if current_df is None:
+            raise ValueError("CURRENT modes need the current snapshot df")
+        cur = _filtered(current_df, query, text_col)
+        if sort:
+            cur = cur.orderBy(*[F.col(c).asc() if d == "asc" else F.col(c).desc() for c, d in sort])
+    return stream_df, cur
+
+
+def windowed_ingest_stats(
+    spark: SparkSession, stream_dir: str, schema,
+    ts_col: str = "warc_ts", window: str = "1 minute", watermark: str = "5 minutes",
+) -> DataFrame:
+    """Event-time windowed ingest metrics with late-data handling — new
+    surface beyond the reference (it has no watermarks/windows), used
+    for build monitoring: docs/bytes per event-time window."""
+    src = spark.readStream.schema(schema).parquet(stream_dir)
+    return (
+        src.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text")).alias("text_bytes"),
+        )
+        .select("window.start", "window.end", "n_docs", "text_bytes")
+    )
