@@ -46,8 +46,13 @@ def main() -> None:
     tmp = tempfile.mkdtemp(prefix="yaii_bench_")
     try:
         # ---- 1. index-build throughput on the synthetic pages table ----
-        pages = gen_pages(spark, SYNTH_DOCS, include_fixtures=False, partitions=CPUS)
-        pages.count()  # materialize generation cost outside the timed build
+        # materialize the synthetic corpus to parquet first: the timed
+        # region is read→tokenize→postings→write, like a real build over
+        # an Iceberg input table (generation cost excluded)
+        gen_pages(spark, SYNTH_DOCS, include_fixtures=False, partitions=CPUS).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp}/pages")
+        pages = spark.read.parquet(f"{tmp}/pages")
         t0 = time.time()
         m = build_index(
             spark, pages, f"{tmp}/synth_idx", seg_size=4096,

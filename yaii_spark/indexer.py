@@ -150,6 +150,9 @@ def build_index(
         "local_id", (F.col(id_col) - F.col("seg_id") * F.lit(seg_size)).cast("long")
     )
     docs = docs.withColumn("base_doc_id", F.col("seg_id") * F.lit(seg_size))
+    # tokenize exactly once: every downstream pass (stats, docs table,
+    # seg_meta, postings) reuses the cached tokenized batch
+    docs = docs.persist()
 
     # ---- corpus stats over the FULL input (stable across resumes) ----
     stats_row = docs.agg(
@@ -186,7 +189,6 @@ def build_index(
 
     if pending:
         batch = docs.filter(F.col("seg_id").isin([int(s) for s in pending]))
-        batch = batch.repartition("seg_id").cache()
 
         # ---- docs table (stored fields + dl) ----
         keep = [id_col, "seg_id", "local_id", "dl"] + [
@@ -262,7 +264,6 @@ def build_index(
         )
         mode = "append" if (resume and os.path.exists(ckpt_path)) else "overwrite"
         ck.write.mode(mode).parquet(ckpt_path)
-        batch.unpersist()
 
     # ---- corpus-wide term stats (recomputed from durable postings —
     # correct under resume because postings are the source of truth) ----
@@ -280,6 +281,7 @@ def build_index(
         "n_docs long, avgdl double, k1 double, b double, seg_size long",
     ).write.mode("overwrite").parquet(os.path.join(out_dir, "corpus_stats"))
 
+    docs.unpersist()
     metrics["wall_sec"] = time.time() - t0
     metrics["docs_per_sec"] = n_total / metrics["wall_sec"] if metrics["wall_sec"] else 0.0
     return metrics
