@@ -43,6 +43,12 @@ CASES = [
     (A.and_(A.or_(A.token("abc"), A.token("efg"))), {12, 13, 14}),        # :247-252
     (A.and_(A.or_(A.token("abc"), A.token("efg")), A.token("abc")), {12, 14}),  # :253-260
     (A.token("about"), {12}),   # stopwords kept on regular fields
+    # catch-all field semantics (test-index.ts:299-307): stopword
+    # 'about' is filtered from £_ALL, real terms are searchable there
+    (A.token("about", "_all"), set()),
+    (A.token("ufg", "_all"), {12}),
+    (A.or_(A.token("abc", "_all"), A.token("efg", "_all")), {12, 13, 14}),
+    (A.and_(A.token("abc"), A.token("abc", "_all")), {12, 14}),
     (A.not_(A.token("abc")), {13, 15}),
     (A.and_(A.token("is"), A.not_(A.token("demo"))), {15}),
     (A.has_field("lang"), {12, 13, 14, 15}),
@@ -82,9 +88,9 @@ def test_rewrite_rules():
     assert isinstance(A.rewrite(A.and_(t, A.not_(t))), A.NoneNode)
     assert A.rewrite(A.not_(A.not_(t))) == t
     assert A.rewrite(A.and_(A.and_(t, A.token("y")))) == A.And([t, A.token("y")])
-    # absent-term pruning (mayMatch)
-    assert isinstance(A.prune_absent_terms(A.token("zzz"), {"x"}), A.NoneNode)
-    assert A.prune_absent_terms(A.or_(t, A.token("zzz")), {"x"}) == t
+    # absent-term pruning (mayMatch) — dictionary keyed by (field, term)
+    assert isinstance(A.prune_absent_terms(A.token("zzz"), {("text", "x")}), A.NoneNode)
+    assert A.prune_absent_terms(A.or_(t, A.token("zzz")), {("text", "x")}) == t
 
 
 # -- property: numpy segment algebra == python set algebra -------------------
@@ -112,7 +118,7 @@ def _ast(depth):
 def test_numpy_algebra_matches_sets(postings, query):
     n_docs = 30
     np_post = {
-        t: np.array(sorted(s), dtype=np.int64) for t, s in postings.items()
+        ("text", t): np.array(sorted(s), dtype=np.int64) for t, s in postings.items()
     }
     got = set(_eval_numpy(A.rewrite(query), np_post, n_docs).tolist())
 

@@ -1,0 +1,75 @@
+"""Index maintenance: tombstone deletes (U4), segment merge (S7),
+cached filters (P9)."""
+
+import pytest
+
+from yaii_spark.indexer import build_index, delete_docs, merge_segments
+from yaii_spark.ops.aggregations import index_size
+from yaii_spark.queries import ast as A
+from yaii_spark.queries.bm25 import bm25_topk
+from yaii_spark.queries.executor import cache_filter, execute_boolean, search
+from yaii_spark.storage import IndexCatalog
+from yaii_spark.synth import gen_boolean_pages, gen_pages
+
+
+def ids(df):
+    return {r.doc_id for r in df.collect()}
+
+
+@pytest.fixture(scope="module")
+def del_index(spark, work_dir):
+    out = f"{work_dir}/del_idx"
+    build_index(spark, gen_boolean_pages(spark), out, seg_size=3)
+    return IndexCatalog(spark, out)
+
+
+def test_delete_then_query(spark, del_index):
+    cat = del_index
+    assert ids(execute_boolean(cat, A.token("abc"))) == {12, 14}
+    delete_docs(spark, cat.root, [14])
+    assert ids(execute_boolean(cat, A.token("abc"))) == {12}
+    # NOT respects tombstones on both sides
+    assert ids(execute_boolean(cat, A.not_(A.token("abc")))) == {13, 15}
+    # attribute predicates too
+    assert ids(execute_boolean(cat, A.number("num_attr", 25))) == set()
+    # BM25 excludes deleted docs (both paths)
+    assert 14 not in {r.doc_id for r in bm25_topk(cat, ["abc"], k=10).collect()}
+    assert 14 not in {r.doc_id for r in bm25_topk(cat, ["abc"], k=10, prune=True).collect()}
+    assert index_size(cat) == 3
+    # projection path
+    assert ids(search(cat, A.all_docs())) == {12, 13, 15}
+
+
+def test_cached_filter(spark, del_index):
+    cat = del_index
+    cache_filter(cat, "f1", A.or_(A.token("abc"), A.token("efg")))
+    got = ids(execute_boolean(cat, A.and_(A.cached_filter("f1"), A.token("dolor"))))
+    assert got == {13}
+    with pytest.raises(KeyError):
+        execute_boolean(cat, A.cached_filter("nope")).collect()
+
+
+def test_merge_preserves_results(spark, work_dir):
+    src = f"{work_dir}/premerge_idx"
+    dst = f"{work_dir}/postmerge_idx"
+    pages = gen_pages(spark, 500, include_fixtures=True)
+    build_index(spark, pages, src, seg_size=64)  # 8 segments
+    m = merge_segments(spark, src, dst, factor=4)  # → 2 segments
+    assert m["segments_after"] == 2
+    a, b = IndexCatalog(spark, src), IndexCatalog(spark, dst)
+    assert b.corpus_stats().seg_size == 256
+
+    queries = [
+        A.token("lorem"),
+        A.or_(A.token("hotterm"), A.token("the")),
+        A.and_(A.token("the"), A.not_(A.token("a"))),
+        A.not_(A.token("the")),
+    ]
+    for q in queries:
+        assert ids(execute_boolean(a, q)) == ids(execute_boolean(b, q)), q
+    for terms in (["the"], ["the", "a"], ["lorem", "ipsum"]):
+        ra = [(r.doc_id, r.score) for r in bm25_topk(a, terms, k=10).collect()]
+        rb = [(r.doc_id, r.score) for r in bm25_topk(b, terms, k=10).collect()]
+        assert ra == rb, terms
+        rp = [(r.doc_id, r.score) for r in bm25_topk(b, terms, k=10, prune=True).collect()]
+        assert ra == rp, terms

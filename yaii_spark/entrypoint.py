@@ -37,7 +37,7 @@ from yaii_spark.ops.aggregations import (
 from yaii_spark.queries import ast as A
 from yaii_spark.queries.bm25 import bm25_topk
 from yaii_spark.queries.executor import execute_boolean, search
-from yaii_spark.storage import IndexCatalog
+from yaii_spark.storage import FORMAT_VERSION, IndexCatalog
 
 # ---------------------------------------------------------------------------
 # index cache per sf_dir
@@ -47,7 +47,7 @@ _CACHE_ROOT = os.path.join(tempfile.gettempdir(), "yaii_spark_index_cache")
 
 
 def get_index(spark: SparkSession, sf_dir: str, seg_size: int = 1024) -> IndexCatalog:
-    tag = hashlib.md5(f"{sf_dir}|{seg_size}".encode()).hexdigest()[:12]
+    tag = hashlib.md5(f"{sf_dir}|{seg_size}|v{FORMAT_VERSION}".encode()).hexdigest()[:12]
     out = os.path.join(_CACHE_ROOT, tag)
     cat = IndexCatalog(spark, out)
     if not cat.exists():
@@ -302,6 +302,10 @@ def queries():
         "q_and_not": _bool_q(lambda: A.and_(A.token("merge"), A.not_(A.token("dup")))),
         "q_and_absent_empty": _bool_q(lambda: A.and_(A.token("dup"), A.token("zzznone"))),
         "q_not": _bool_q(lambda: A.not_(A.token("batch"))),
+        # catch-all field semantics (S4): 'dup' survives the stopword
+        # filter, 'the' does not
+        "q_token_all_field": _bool_q(lambda: A.token("dup", "_all")),
+        "q_token_all_stopword": _bool_q(lambda: A.token("the", "_all")),
         # attribute predicates (P3-P5)
         "q_number_eq": _bool_q(lambda: A.number("n_chars", 157)),
         "q_number_range": _bool_q(lambda: A.number_range("n_chars", 100, 200)),
@@ -368,6 +372,10 @@ def oracle_sql():
             f"{_contains_sql('dup')} AND {_contains_sql('zzznone')}"
         ),
         "q_not": ids_where(f"NOT {_contains_sql('batch')}"),
+        "q_token_all_field": f"WITH {_TOK_CTE} SELECT doc_id FROM tok WHERE list_contains("
+        f"list_filter(toks, t -> NOT list_contains({_stoplist_sql()} || [''], t)), 'dup')",
+        "q_token_all_stopword": f"WITH {_TOK_CTE} SELECT doc_id FROM tok WHERE list_contains("
+        f"list_filter(toks, t -> NOT list_contains({_stoplist_sql()} || [''], t)), 'the')",
         "q_number_eq": "SELECT doc_id FROM documents WHERE n_chars = 157",
         "q_number_range": "SELECT doc_id FROM documents WHERE n_chars >= 100 AND n_chars < 200",
         "q_has_field": "SELECT doc_id FROM documents WHERE lang IS NOT NULL",

@@ -46,12 +46,23 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
-from yaii_spark.analyzer import with_tokens
+from yaii_spark.analyzer import tokenize_all_udf, tokenize_udf, with_tokens
 from yaii_spark.codec import delta_encode, encode_positions, varint_encode
 
 DEFAULT_K1 = 1.2  # Lucene/ES defaults — yaii's stated design base
 DEFAULT_B = 0.75
 BLOCK_SIZE = 128  # docs per block for block-max metadata
+
+# analyzer registry for per-field config (yaii FieldConfig.analyzer,
+# /root/reference/src/lib/api/config.ts:12-28): 'standard' = tokenizer
+# only (stopwords kept, like regular searchable fields), 'all' =
+# tokenizer + stopword filter (the £_ALL catch-all chain,
+# /root/reference/src/yaii-types.ts:42-45)
+ANALYZERS = {"standard": tokenize_udf, "all": tokenize_all_udf}
+
+# default field map: field name -> (source column, analyzer).
+# "_all" mirrors yaii's synthetic catch-all field (£_ALL).
+DEFAULT_FIELDS = {"text": ("text", "standard"), "_all": ("text", "all")}
 
 _ENC_SCHEMA = T.StructType(
     [
@@ -125,6 +136,7 @@ def build_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     stored_cols: list[str] | None = None,
+    fields: dict[str, tuple[str, str]] | None = None,
     k1: float = DEFAULT_K1,
     b: float = DEFAULT_B,
     resume: bool = True,
@@ -135,12 +147,19 @@ def build_index(
     `pages[id_col]` must be a dense 0-based long (the caller derives it;
     synth tables carry it natively). Returns build metrics.
 
+    `fields` maps indexed field name -> (source column, analyzer name);
+    defaults to {text: standard, _all: stopword-filtered} mirroring
+    yaii's default field config + catch-all. Document length (dl, the
+    BM25 norm) always comes from `text_col`'s standard tokenization.
+
     `max_segments` limits how many pending segments this invocation
     builds — used by the resumability test to simulate a mid-build kill
     (FIXTURES.md §6).
     """
     t0 = time.time()
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    if fields is None:
+        fields = {"text": (text_col, "standard"), "_all": (text_col, "all")}
 
     docs = with_tokens(pages, text_col=text_col).withColumn(
         "dl", F.size("tokens")
@@ -211,18 +230,32 @@ def build_index(
             .parquet(os.path.join(out_dir, "seg_meta"))
         )
 
-        # ---- postings ----
-        tok = batch.select(
-            "seg_id",
-            F.col(id_col).alias("doc_id"),
-            "dl",
-            F.posexplode("tokens").alias("pos", "term"),
-        )
-        tfpos = tok.groupBy("seg_id", "term", "doc_id", "dl").agg(
+        # ---- postings (multi-field: yaii indexes every searchable
+        # field separately + the £_ALL catch-all) ----
+        parts = []
+        for fname, (src, analyzer) in sorted(fields.items()):
+            tcol = (
+                F.col("tokens")
+                if (src == text_col and analyzer == "standard")
+                else ANALYZERS[analyzer](F.col(src))
+            )
+            parts.append(
+                batch.select(
+                    "seg_id",
+                    F.col(id_col).alias("doc_id"),
+                    "dl",
+                    F.lit(fname).alias("field"),
+                    F.posexplode(tcol).alias("pos", "term"),
+                )
+            )
+        tok = parts[0]
+        for p in parts[1:]:
+            tok = tok.unionByName(p)
+        tfpos = tok.groupBy("seg_id", "field", "term", "doc_id", "dl").agg(
             F.count("*").alias("tf"),
             F.sort_array(F.collect_list("pos")).alias("positions"),
         )
-        plist = tfpos.groupBy("seg_id", "term").agg(
+        plist = tfpos.groupBy("seg_id", "field", "term").agg(
             F.sort_array(
                 F.collect_list(F.struct("doc_id", "tf", "dl", "positions"))
             ).alias("plist"),
@@ -232,14 +265,15 @@ def build_index(
         encode_udf = _make_encode_udf(avgdl, k1, b)
         enc = plist.select(
             "seg_id",
+            "field",
             "term",
             "df_local",
             "cf_local",
             encode_udf(F.col("plist")).alias("e"),
-        ).select("seg_id", "term", "df_local", "cf_local", "e.*")
+        ).select("seg_id", "field", "term", "df_local", "cf_local", "e.*")
         (
             enc.repartition("seg_id")
-            .sortWithinPartitions("term")
+            .sortWithinPartitions("field", "term")
             .write.mode("overwrite")
             .partitionBy("seg_id")
             .parquet(os.path.join(out_dir, "postings"))
@@ -269,10 +303,10 @@ def build_index(
     # correct under resume because postings are the source of truth) ----
     post_all = spark.read.parquet(os.path.join(out_dir, "postings"))
     (
-        post_all.groupBy("term")
+        post_all.groupBy("field", "term")
         .agg(F.sum("df_local").alias("df"), F.sum("cf_local").alias("cf"))
         .repartition(1)
-        .sortWithinPartitions("term")
+        .sortWithinPartitions("field", "term")
         .write.mode("overwrite")
         .parquet(os.path.join(out_dir, "term_stats"))
     )
@@ -287,13 +321,177 @@ def build_index(
     return metrics
 
 
-def merge_segments(spark: SparkSession, index_dir: str, out_dir: str, factor: int) -> None:
-    """Compact `factor` adjacent segments into one (the reference's
-    never-implemented merge, base-inverted-index.ts:536-548).
+def delete_docs(spark: SparkSession, index_dir: str, doc_ids: list[int]) -> int:
+    """Tombstone docs (the reference's removeDocument,
+    mutable-segment.ts:191-197 — immutable segments there throw
+    NotImplemented; ours works uniformly). Appends (seg_id, doc_id)
+    rows; queries anti-join / subtract them. Returns count added."""
+    stats = spark.read.parquet(os.path.join(index_dir, "corpus_stats")).collect()[0]
+    seg_size = int(stats.seg_size)
+    rows = [(int(d) // seg_size, int(d)) for d in sorted(set(doc_ids))]
+    df = spark.createDataFrame(rows, "seg_id long, doc_id long")
+    path = os.path.join(index_dir, "tombstones")
+    mode = "append" if os.path.exists(path) else "overwrite"
+    df.write.mode(mode).parquet(path)
+    return len(rows)
 
-    Distributed: decode postings of the source segments, re-key to the
-    merged seg_id, concatenate sorted runs (docIDs of adjacent segments
-    are disjoint, ordered ranges → concatenation preserves order), and
-    re-encode. Implemented via groupBy(new_seg, term) + applyInPandas.
+
+def merge_segments(
+    spark: SparkSession, index_dir: str, out_dir: str, factor: int
+) -> dict:
+    """Compact `factor` adjacent segments into one (the reference's
+    planned-but-stubbed merge, base-inverted-index.ts:536-548).
+
+    Distributed: group postings rows by (new_seg, field, term) and
+    concatenate the decoded runs in old-seg order — docIDs of adjacent
+    segments are disjoint ascending ranges, so concatenation preserves
+    sort order and no renumbering happens (the payoff of the
+    seg_id*seg_size+local docID design). Doc-length blobs merge by
+    offset placement; block maxes are recomputed. One shuffle keyed by
+    (new_seg, field, term): group size stays ≤ factor rows.
     """
-    raise NotImplementedError("segment merge lands in a later round")
+    stats = spark.read.parquet(os.path.join(index_dir, "corpus_stats")).collect()[0]
+    seg_size, avgdl, k1, b = int(stats.seg_size), float(stats.avgdl), float(stats.k1), float(stats.b)
+    new_size = seg_size * factor
+
+    meta = spark.read.parquet(os.path.join(index_dir, "seg_meta"))
+    post = spark.read.parquet(os.path.join(index_dir, "postings"))
+
+    # ---- merged seg_meta: place old dl blobs at their offsets ----
+    def merge_meta(pdf: pd.DataFrame) -> pd.DataFrame:
+        from yaii_spark.codec import varint_decode
+
+        pdf = pdf.sort_values("base_doc_id")
+        new_seg = int(pdf["base_doc_id"].iloc[0]) // new_size
+        new_base = new_seg * new_size
+        top = int(pdf["base_doc_id"].iloc[-1]) + int(pdf["n_docs"].iloc[-1])
+        dls = np.zeros(top - new_base, dtype=np.uint64)
+        for _, r in pdf.iterrows():
+            off = int(r["base_doc_id"]) - new_base
+            d = varint_decode(r["dl_bin"])
+            dls[off : off + d.size] = d
+        return pd.DataFrame(
+            {
+                "seg_id": [new_seg],
+                "n_docs": [int(dls.size)],
+                "base_doc_id": [new_base],
+                "dl_bin": [varint_encode(dls)],
+            }
+        )
+
+    new_meta = (
+        meta.withColumn("new_seg", (F.col("seg_id") / factor).cast("long"))
+        .groupBy("new_seg")
+        .applyInPandas(merge_meta, schema=_SEG_META_SCHEMA)
+    )
+    new_meta.write.mode("overwrite").partitionBy("seg_id").parquet(
+        os.path.join(out_dir, "seg_meta")
+    )
+    meta_small = {
+        r.seg_id: (r.n_docs, r.base_doc_id)
+        for r in spark.read.parquet(os.path.join(out_dir, "seg_meta"))
+        .select("seg_id", "n_docs", "base_doc_id")
+        .collect()
+    }
+    bmeta = spark.sparkContext.broadcast(meta_small)
+
+    # ship merged dl blobs to executors once; decode lazily per task
+    dl_blobs = {
+        r.seg_id: r.dl_bin
+        for r in spark.read.parquet(os.path.join(out_dir, "seg_meta"))
+        .select("seg_id", "dl_bin")
+        .collect()
+    }
+    bdl = spark.sparkContext.broadcast(dl_blobs)
+
+    _dl_cache: dict = {}
+
+    def merge_post(pdf: pd.DataFrame) -> pd.DataFrame:
+        _cache = _dl_cache
+        from yaii_spark.codec import (
+            decode_positions,
+            delta_decode,
+            delta_encode,
+            encode_positions,
+            varint_decode,
+        )
+
+        pdf = pdf.sort_values("seg_id")
+        new_seg = int(pdf["seg_id"].iloc[0]) // factor
+        base = new_seg * new_size
+        ids = np.concatenate([delta_decode(x) for x in pdf["doc_ids_bin"]])
+        tfs = np.concatenate([varint_decode(x) for x in pdf["tfs_bin"]])
+        pos_lists = []
+        for pb, tb in zip(pdf["pos_bin"], pdf["tfs_bin"]):
+            pos_lists.extend(decode_positions(pb, varint_decode(tb).astype(np.int64)))
+        if new_seg not in _cache:
+            _cache[new_seg] = varint_decode(bdl.value[new_seg]).astype(np.float64)
+        dls = _cache[new_seg]
+        local = (ids - base).astype(np.int64)
+        norms = _tf_norm(tfs, dls[local], avgdl, k1, b)
+        nblocks = math.ceil(ids.size / BLOCK_SIZE)
+        bmax = [float(norms[i * BLOCK_SIZE : (i + 1) * BLOCK_SIZE].max()) for i in range(nblocks)]
+        return pd.DataFrame(
+            {
+                "seg_id": [new_seg],
+                "field": [pdf["field"].iloc[0]],
+                "term": [pdf["term"].iloc[0]],
+                "df_local": [int(pdf["df_local"].sum())],
+                "cf_local": [int(pdf["cf_local"].sum())],
+                "doc_ids_bin": [delta_encode(ids)],
+                "tfs_bin": [varint_encode(tfs)],
+                "pos_bin": [encode_positions([p.tolist() for p in pos_lists])],
+                "block_maxes": [bmax],
+                "max_norm": [float(norms.max()) if norms.size else 0.0],
+            }
+        )
+
+    out_schema = (
+        "seg_id long, field string, term string, df_local long, cf_local long, "
+        "doc_ids_bin binary, tfs_bin binary, pos_bin binary, "
+        "block_maxes array<double>, max_norm double"
+    )
+    (
+        post.withColumn("new_seg", (F.col("seg_id") / factor).cast("long"))
+        .groupBy("new_seg", "field", "term")
+        .applyInPandas(merge_post, schema=out_schema)
+        .repartition("seg_id")
+        .sortWithinPartitions("field", "term")
+        .write.mode("overwrite")
+        .partitionBy("seg_id")
+        .parquet(os.path.join(out_dir, "postings"))
+    )
+
+    # docs table, stats, checkpoints carry over with re-keyed seg_id
+    docs = spark.read.parquet(os.path.join(index_dir, "docs"))
+    (
+        docs.withColumn("seg_id", (F.col("seg_id") / factor).cast("long"))
+        .withColumn("local_id", F.col("doc_id") - F.col("seg_id") * F.lit(new_size))
+        .write.mode("overwrite")
+        .partitionBy("seg_id")
+        .parquet(os.path.join(out_dir, "docs"))
+    )
+    spark.read.parquet(os.path.join(index_dir, "term_stats")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out_dir, "term_stats"))
+    spark.createDataFrame(
+        [(int(stats.n_docs), avgdl, k1, b, new_size)],
+        "n_docs long, avgdl double, k1 double, b double, seg_size long",
+    ).write.mode("overwrite").parquet(os.path.join(out_dir, "corpus_stats"))
+    post_new = spark.read.parquet(os.path.join(out_dir, "postings"))
+    ck = post_new.groupBy("seg_id").agg(
+        F.sum("df_local").alias("n_postings_docs"), F.count("*").alias("n_terms")
+    ).select(
+        "seg_id", "n_postings_docs", "n_terms",
+        F.lit(0.0).alias("wall_sec"), F.lit("done").alias("status"),
+    )
+    ck.write.mode("overwrite").parquet(os.path.join(out_dir, "checkpoints"))
+    tomb = os.path.join(index_dir, "tombstones")
+    if os.path.exists(tomb):
+        (
+            spark.read.parquet(tomb)
+            .withColumn("seg_id", (F.col("seg_id") / factor).cast("long"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, "tombstones"))
+        )
+    return {"segments_before": len(dl_blobs) * factor, "segments_after": len(dl_blobs)}

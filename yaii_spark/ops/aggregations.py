@@ -24,7 +24,7 @@ from yaii_spark.storage import IndexCatalog
 
 
 def _filtered_docs(cat: IndexCatalog, query: A.Node | None) -> DataFrame:
-    docs = cat.docs()
+    docs = cat.docs_live()
     if query is None or isinstance(query, A.All):
         return docs
     ids = execute_boolean(cat, query)
@@ -77,6 +77,6 @@ def agg_numeric_buckets(
 
 
 def index_size(cat: IndexCatalog) -> int:
-    """Live doc count (A6); tombstones table not yet implemented →
-    doc count of the docs table (Iceberg positional deletes at scale)."""
-    return cat.docs().count()
+    """Live doc count (A6): Σ per-segment (count − deleted.cost), the
+    reference's size() (base-inverted-index.ts:499-505)."""
+    return cat.docs_live().count()

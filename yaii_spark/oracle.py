@@ -14,7 +14,7 @@ from __future__ import annotations
 import math
 from collections import Counter
 
-from yaii_spark.analyzer import tokenize
+from yaii_spark.analyzer import tokenize, tokenize_all_field
 from yaii_spark.queries import ast as A
 
 
@@ -23,12 +23,19 @@ class BruteForceIndex:
         """docs: doc_id -> text; attrs: doc_id -> attribute dict."""
         self.docs = docs
         self.attrs = attrs or {doc_id: {} for doc_id in docs}
-        self.tokens = {d: tokenize(t) for d, t in docs.items()}
+        # per-field token streams mirroring the default field map:
+        # 'text' keeps stopwords, '_all' filters them (yaii £_ALL)
+        self.field_tokens = {
+            "text": {d: tokenize(t) for d, t in docs.items()},
+            "_all": {d: tokenize_all_field(t) for d, t in docs.items()},
+        }
+        self.tokens = self.field_tokens["text"]
         self.all_ids = set(docs)
 
     def evaluate(self, node: A.Node) -> set[int]:
         if isinstance(node, A.Token):
-            return {d for d, toks in self.tokens.items() if node.term in toks}
+            toks_by_doc = self.field_tokens.get(node.field_name, {})
+            return {d for d, toks in toks_by_doc.items() if node.term in toks}
         if isinstance(node, A.All):
             return set(self.all_ids)
         if isinstance(node, A.NoneNode):

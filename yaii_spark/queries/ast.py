@@ -59,6 +59,16 @@ class HasField(Node):
 
 
 @dataclass(frozen=True)
+class CachedFilter(Node):
+    """Named, memoized filter reusable inside later queries — the
+    reference's £_FILTER_CACHE pseudo-token
+    (/root/reference/src/lib/internal/query-ir/cached-filter.ts:10-41).
+    Resolved from the catalog's persisted filter cache at execution."""
+
+    name: str
+
+
+@dataclass(frozen=True)
 class All(Node):
     pass
 
@@ -135,6 +145,10 @@ def all_docs() -> Node:
     return All()
 
 
+def cached_filter(name: str) -> Node:
+    return CachedFilter(name)
+
+
 def none() -> Node:
     return NoneNode()
 
@@ -194,11 +208,12 @@ def rewrite(node: Node) -> Node:
     return node
 
 
-def collect_terms(node: Node) -> set[str]:
+def collect_terms(node: Node) -> set[tuple[str, str]]:
+    """All (field, term) pairs referenced by the tree."""
     if isinstance(node, Token):
-        return {node.term}
+        return {(node.field_name, node.term)}
     if isinstance(node, (And, Or)):
-        out: set[str] = set()
+        out: set[tuple[str, str]] = set()
         for c in node.children:
             out |= collect_terms(c)
         return out
@@ -207,13 +222,13 @@ def collect_terms(node: Node) -> set[str]:
     return set()
 
 
-def prune_absent_terms(node: Node, present: set[str]) -> Node:
+def prune_absent_terms(node: Node, present: set[tuple[str, str]]) -> Node:
     """mayMatch: tokens absent from the term dictionary → NONE, then
     re-simplify. Runs on the driver against broadcast term stats."""
 
     def walk(n: Node) -> Node:
         if isinstance(n, Token):
-            return n if n.term in present else NoneNode()
+            return n if (n.field_name, n.term) in present else NoneNode()
         if isinstance(n, And):
             return And([walk(c) for c in n.children])
         if isinstance(n, Or):

@@ -51,6 +51,7 @@ def _score_segment_pruned(
     b: float,
     avgdl: float,
     k: int,
+    deleted: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """MaxScore + block-max pruned top-k (mode='or', rank-safe).
 
@@ -81,6 +82,8 @@ def _score_segment_pruned(
     )  # suffix[i] = Σ ub of order[i:]
     scores = np.zeros(n_docs, dtype=np.float64)
     dead = np.zeros(n_docs, dtype=bool)
+    if deleted is not None:
+        dead[deleted - base] = True
     touched: list[np.ndarray] = []
     theta = -np.inf
     n_seen = 0
@@ -145,6 +148,7 @@ def _score_segment(
     avgdl: float,
     k: int,
     mode: str,
+    deleted: np.ndarray | None = None,
 ) -> pd.DataFrame:
     n_docs = int(pdf["n_docs"].iloc[0])
     base = int(pdf["base_doc_id"].iloc[0])
@@ -163,6 +167,8 @@ def _score_segment(
         norm = tfs / (tfs + k1 * (1.0 - b + b * dls[ids] / avgdl))
         scores[ids] += idfs[term] * norm
         hit_count[ids] += 1
+    if deleted is not None:
+        hit_count[deleted - base] = 0  # tombstoned docs never match
     if mode == "and":
         cand = np.flatnonzero(hit_count == len(idfs)) if n_terms == len(idfs) else np.empty(0, dtype=np.int64)
     else:
@@ -186,6 +192,7 @@ def bm25_topk(
     k: int = 10,
     mode: str = "or",
     prune: bool = False,
+    field: str = "text",
 ) -> DataFrame:
     """Top-k (doc_id, score) for a bag of query terms.
 
@@ -196,24 +203,34 @@ def bm25_topk(
     spark = cat.spark
     stats = cat.corpus_stats()
     uniq = sorted(set(terms))
-    tstats = cat.term_stats_for(uniq)  # driver-side mayMatch + df lookup
-    idfs = {t: idf(stats.n_docs, df) for t, (df, _) in tstats.items()}
+    tstats = cat.term_stats_for([(field, t) for t in uniq])
+    idfs = {t: idf(stats.n_docs, df) for (_, t), (df, _) in tstats.items()}
     if not idfs or (mode == "and" and len(idfs) < len(uniq)):
         return spark.createDataFrame([], "doc_id long, score double")
 
     cols = ["seg_id", "term", "doc_ids_bin", "tfs_bin"] + (
         ["block_maxes"] if prune else []
     )
-    post = cat.postings(sorted(idfs)).select(*cols)
+    post = cat.postings([(field, t) for t in sorted(idfs)]).select(*cols)
     meta = cat.seg_meta().select("seg_id", "n_docs", "base_doc_id", "dl_bin")
     joined = post.join(meta, "seg_id", "inner")
+    tomb = cat.tombstones()
+    if tomb is not None:
+        tomb_arr = tomb.groupBy("seg_id").agg(F.collect_list("doc_id").alias("_deleted"))
+        joined = joined.join(F.broadcast(tomb_arr), "seg_id", "left")
+    has_tomb = tomb is not None
     k1, b, avgdl = stats.k1, stats.b, stats.avgdl
     use_prune = prune and mode == "or"
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        deleted = None
+        if has_tomb:
+            d = pdf["_deleted"].iloc[0]
+            if d is not None and len(d):
+                deleted = np.asarray(d, dtype=np.int64)
         if use_prune:
-            return _score_segment_pruned(pdf, idfs, k1, b, avgdl, k)
-        return _score_segment(pdf, idfs, k1, b, avgdl, k, mode)
+            return _score_segment_pruned(pdf, idfs, k1, b, avgdl, k, deleted)
+        return _score_segment(pdf, idfs, k1, b, avgdl, k, mode, deleted)
 
     per_seg = joined.groupBy("seg_id").applyInPandas(fn, schema="doc_id long, score double")
     return per_seg.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)

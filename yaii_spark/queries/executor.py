@@ -43,7 +43,7 @@ def _empty_ids(spark) -> DataFrame:
 
 def _eval_numpy(node: A.Node, postings: dict, n_docs: int) -> np.ndarray:
     if isinstance(node, A.Token):
-        return postings.get(node.term, np.empty(0, dtype=np.int64))
+        return postings.get((node.field_name, node.term), np.empty(0, dtype=np.int64))
     if isinstance(node, A.All):
         return np.arange(n_docs, dtype=np.int64)
     if isinstance(node, A.NoneNode):
@@ -93,7 +93,7 @@ def _eval_token_tree(cat: IndexCatalog, node: A.Node) -> DataFrame:
     """Evaluate a token-only subtree → DataFrame[doc_id]."""
     spark = cat.spark
     terms = sorted(A.collect_terms(node))
-    post = cat.postings(terms).select("seg_id", "term", "doc_ids_bin")
+    post = cat.postings(terms).select("seg_id", "field", "term", "doc_ids_bin")
     meta = cat.seg_meta().select("seg_id", "n_docs", "base_doc_id")
     if _needs_universe(node):
         # NOT/ALL need every segment, even term-free ones
@@ -102,16 +102,28 @@ def _eval_token_tree(cat: IndexCatalog, node: A.Node) -> DataFrame:
         if not terms:
             return _empty_ids(spark)
         joined = post.join(meta, "seg_id", "inner")
+    tomb = cat.tombstones()
+    if tomb is not None:
+        tomb_arr = tomb.groupBy("seg_id").agg(
+            F.collect_list("doc_id").alias("_deleted")
+        )
+        joined = joined.join(F.broadcast(tomb_arr), "seg_id", "left")
+    has_tomb = tomb is not None
 
     def eval_segment(pdf: pd.DataFrame):
         n_docs = int(pdf["n_docs"].iloc[0])
         base = int(pdf["base_doc_id"].iloc[0])
         postings = {
-            t: delta_decode(b).astype(np.int64) - base
-            for t, b in zip(pdf["term"], pdf["doc_ids_bin"])
+            (f, t): delta_decode(b).astype(np.int64) - base
+            for f, t, b in zip(pdf["field"], pdf["term"], pdf["doc_ids_bin"])
             if t is not None and b is not None
         }
         ids = _eval_numpy(node, postings, n_docs)
+        if has_tomb:
+            deleted = pdf["_deleted"].iloc[0]
+            if deleted is not None and len(deleted):
+                dele = np.asarray(deleted, dtype=np.int64) - base
+                ids = np.setdiff1d(ids, dele, assume_unique=True)
         return pd.DataFrame({"doc_id": ids + base})
 
     return joined.groupBy("seg_id").applyInPandas(eval_segment, schema="doc_id long")
@@ -138,6 +150,11 @@ def _attr_filter(node: A.Node):
 
 
 def _eval_hybrid(cat: IndexCatalog, node: A.Node, docs: DataFrame) -> DataFrame:
+    if isinstance(node, A.CachedFilter):
+        cached = getattr(cat, "_filter_cache", {}).get(node.name)
+        if cached is None:
+            raise KeyError(f"no cached filter named {node.name!r}")
+        return cached
     if A.is_token_only(node):
         if isinstance(node, A.All):
             return docs.select("doc_id")
@@ -183,14 +200,27 @@ def _eval_hybrid(cat: IndexCatalog, node: A.Node, docs: DataFrame) -> DataFrame:
 def execute_boolean(cat: IndexCatalog, query: A.Node) -> DataFrame:
     """Evaluate a boolean query → DataFrame[doc_id] (distinct)."""
     q = A.rewrite(query)
-    terms = A.collect_terms(q)
-    if terms:
-        present = set(cat.term_stats_for(sorted(terms)).keys())
+    field_terms = A.collect_terms(q)
+    if field_terms:
+        present = set(cat.term_stats_for(sorted(field_terms)).keys())
         q = A.prune_absent_terms(q, present)
     if isinstance(q, A.NoneNode):
         return _empty_ids(cat.spark)
-    docs = cat.docs()
+    docs = cat.docs_live()
     return _eval_hybrid(cat, q, docs)
+
+
+def cache_filter(cat: IndexCatalog, name: str, query: A.Node) -> DataFrame:
+    """Evaluate + persist a named filter for reuse via
+    A.cached_filter(name) — P9 (cached-filter.ts:10-41). Backed by
+    Spark's block-manager persistence instead of a per-segment bitmap
+    memo."""
+    ids = execute_boolean(cat, query).persist()
+    ids.count()  # materialize now so later queries reuse, not recompute
+    if not hasattr(cat, "_filter_cache"):
+        cat._filter_cache = {}
+    cat._filter_cache[name] = ids
+    return ids
 
 
 def search(
@@ -207,7 +237,7 @@ def search(
     (base-inverted-index.ts:430-455).
     """
     ids = execute_boolean(cat, query)
-    docs = cat.docs()
+    docs = cat.docs_live()
     out = ids.join(docs, "doc_id", "inner")
     if projection:
         out = out.select("doc_id", *projection)

@@ -31,6 +31,9 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+# bump when the on-disk layout changes (cache invalidation)
+FORMAT_VERSION = 2
+
 
 def iceberg_format(spark: SparkSession) -> str | None:
     """Return 'iceberg' when the catalog is configured, else None."""
@@ -73,11 +76,19 @@ class IndexCatalog:
     def docs(self) -> DataFrame:
         return self.spark.read.parquet(self.path("docs"))
 
-    def postings(self, terms: list[str] | None = None) -> DataFrame:
+    def postings(self, field_terms: list[tuple[str, str]] | None = None) -> DataFrame:
         df = self.spark.read.parquet(self.path("postings"))
-        if terms is not None:
-            # equality-list predicate pushes to parquet row-group stats
-            df = df.filter(F.col("term").isin(terms))
+        if field_terms is not None:
+            # per-field equality-list predicates push to parquet
+            # row-group stats (files are sorted by field, term)
+            by_field: dict[str, list[str]] = {}
+            for f, t in field_terms:
+                by_field.setdefault(f, []).append(t)
+            cond = None
+            for f, ts in sorted(by_field.items()):
+                c = (F.col("field") == f) & F.col("term").isin(sorted(set(ts)))
+                cond = c if cond is None else (cond | c)
+            df = df.filter(cond if cond is not None else F.lit(False))
         return df
 
     def seg_meta(self) -> DataFrame:
@@ -89,9 +100,37 @@ class IndexCatalog:
     def checkpoints(self) -> DataFrame:
         return self.spark.read.parquet(self.path("checkpoints"))
 
-    def term_stats_for(self, terms: list[str]) -> dict[str, tuple[int, int]]:
-        """Driver-side (df, cf) lookup for a query's terms — the
-        `mayMatch` plan-time pruning analogue (SURVEY.md §2.2 P10):
-        absent terms never reach an executor."""
-        rows = self.term_stats().filter(F.col("term").isin(terms)).collect()
-        return {r.term: (r.df, r.cf) for r in rows}
+    def tombstones(self) -> DataFrame | None:
+        """Deleted doc ids (seg_id, doc_id) or None when nothing was
+        ever deleted. The reference keeps per-segment delete bitmaps
+        (mutable-segment.ts:27,191-197); at Iceberg scale these become
+        positional delete files — same shape."""
+        p = self.path("tombstones")
+        if not os.path.exists(p):
+            return None
+        return self.spark.read.parquet(p)
+
+    def docs_live(self) -> DataFrame:
+        """Docs minus tombstones (the reference's
+        removeDeletedAndAddedAfter clamp, utils.ts:201-220)."""
+        docs = self.docs()
+        tomb = self.tombstones()
+        if tomb is None:
+            return docs
+        return docs.join(tomb.select("doc_id"), "doc_id", "left_anti")
+
+    def term_stats_for(
+        self, field_terms: list[tuple[str, str]]
+    ) -> dict[tuple[str, str], tuple[int, int]]:
+        """Driver-side (df, cf) lookup for a query's (field, term)
+        pairs — the `mayMatch` plan-time pruning analogue (SURVEY.md
+        §2.2 P10): absent terms never reach an executor."""
+        terms = sorted({t for _, t in field_terms})
+        fields = sorted({f for f, _ in field_terms})
+        rows = (
+            self.term_stats()
+            .filter(F.col("term").isin(terms) & F.col("field").isin(fields))
+            .collect()
+        )
+        want = set(field_terms)
+        return {(r.field, r.term): (r.df, r.cf) for r in rows if (r.field, r.term) in want}

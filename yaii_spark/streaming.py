@@ -22,7 +22,7 @@ from enum import Enum
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
-from yaii_spark.analyzer import tokenize_udf
+from yaii_spark.analyzer import tokenize_all_udf, tokenize_udf
 from yaii_spark.queries import ast as A
 
 
@@ -37,7 +37,8 @@ def compile_predicate(node: A.Node, tokens_col: str = "_tokens") -> Column:
     tokenized row — the per-batch evaluation form used for streams
     (and usable as a full-scan fallback for batch)."""
     if isinstance(node, A.Token):
-        return F.array_contains(F.col(tokens_col), node.term)
+        col = "_all_tokens" if node.field_name == "_all" else tokens_col
+        return F.array_contains(F.col(col), node.term)
     if isinstance(node, A.All):
         return F.lit(True)
     if isinstance(node, A.NoneNode):
@@ -73,8 +74,9 @@ def _filtered(df: DataFrame, query: A.Node, text_col: str) -> DataFrame:
     q = A.rewrite(query)
     return (
         df.withColumn("_tokens", tokenize_udf(F.col(text_col)))
+        .withColumn("_all_tokens", tokenize_all_udf(F.col(text_col)))
         .filter(compile_predicate(q))
-        .drop("_tokens")
+        .drop("_tokens", "_all_tokens")
     )
 
 
