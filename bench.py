@@ -29,7 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-SYNTH_DOCS = int(os.environ.get("BENCH_SYNTH_DOCS", "30000"))
+SYNTH_DOCS = int(os.environ.get("BENCH_SYNTH_DOCS", "200000"))
 REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
 
 
@@ -54,8 +54,10 @@ def main() -> None:
         ).parquet(f"{tmp}/pages")
         pages = spark.read.parquet(f"{tmp}/pages")
         t0 = time.time()
+        # seg_size 1024 → ~200 segments: enough segment-keyed tasks to
+        # fill 32 cores (at production scale segments >> cores anyway)
         m = build_index(
-            spark, pages, f"{tmp}/synth_idx", seg_size=4096,
+            spark, pages, f"{tmp}/synth_idx", seg_size=1024,
             stored_cols=["url", "lang"], resume=False,
         )
         build_wall = time.time() - t0
