@@ -77,3 +77,20 @@ def test_tokenize_invariants(s):
         assert t == t.lower()
         assert not re.search(r"[\s\-,;:.]", t)
     assert all(t not in STOPWORDS for t in remove_stopwords(toks))
+
+
+def test_rule_tokenizer(spark):
+    """mooTokenizer re-expression (F4): rule priority + selective lowercase."""
+    from yaii_spark.analyzer import make_rule_tokenizer
+
+    fn, udf = make_rule_tokenizer(
+        [
+            ("ref", r"[@%&][A-Za-z0-9+/=]+\.[a-z0-9]+", False),
+            ("word", r"[^\s\-,;:.]+", True),
+        ]
+    )
+    text = "Hello @AbC123+/=.sha256 World-foo"
+    assert fn(text) == ["hello", "@AbC123+/=.sha256", "world", "foo"]
+    df = spark.createDataFrame([(text,)], "text string")
+    rows = df.select(udf("text").alias("t")).collect()
+    assert rows[0].t == fn(text)

@@ -96,6 +96,44 @@ tokenize_udf = F.pandas_udf(_tokenize_series, T.ArrayType(T.StringType()))
 tokenize_all_udf = F.pandas_udf(_tokenize_all_series, T.ArrayType(T.StringType()))
 
 
+def make_rule_tokenizer(rules: list[tuple[str, str, bool]]):
+    """Lexer-style rule tokenizer — re-expression of yaii's mooTokenizer
+    (/root/reference/src/lib/analyzer/moo-tokenizer.ts:6-22): ordered
+    (name, pattern, keep) rules matched with first-rule-wins priority at
+    each position; kept tokens are lowercased unless the rule opts out.
+
+    The reference's SSB config keeps @/%/&…=.xxx crypto refs whole and
+    lowercases words (test/performance/performance-ssb.ts:109-115); the
+    equivalent here:
+
+        make_rule_tokenizer([
+            ("ref",  r"[@%&][A-Za-z0-9+/=]+\\.[a-z0-9]+", False),
+            ("word", r"[^\\s\\-,;:.]+", True),
+        ])
+
+    Returns (pure_fn, pandas_udf) sharing one implementation.
+    """
+    compiled = re.compile(
+        "|".join(f"(?P<r{i}>{pat})" for i, (_, pat, _) in enumerate(rules))
+    )
+    lower_flags = [lower for _, _, lower in rules]
+
+    def fn(text: str) -> List[str]:
+        out = []
+        for m in compiled.finditer(text):
+            tok = m.group(0)
+            idx = int(m.lastgroup[1:])
+            out.append(tok.lower() if lower_flags[idx] else tok)
+        return out
+
+    def _series(s: pd.Series) -> pd.Series:
+        return pd.Series(
+            [fn(x) if x is not None else None for x in s], index=s.index, dtype=object
+        )
+
+    return fn, F.pandas_udf(_series, T.ArrayType(T.StringType()))
+
+
 def with_tokens(df, text_col: str = "text", out_col: str = "tokens"):
     """Add a token-array column (searchable-field chain, stopwords kept)."""
     return df.withColumn(out_col, tokenize_udf(F.col(text_col)))
