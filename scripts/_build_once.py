@@ -1,0 +1,49 @@
+"""One timed index build at a given core count (scaling harness leg).
+
+Usage: python scripts/_build_once.py <cpus> <pages_parquet_dir> <n_docs>
+Prints one JSON line {"cpus", "wall_sec", "docs_per_sec"}.
+Generates the corpus into <pages_parquet_dir> if absent (untimed).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    cpus = int(sys.argv[1])
+    pages_dir = sys.argv[2]
+    n_docs = int(sys.argv[3])
+
+    from yaii_spark.session import get_spark
+    from yaii_spark.synth import gen_pages
+    from yaii_spark.indexer import build_index
+
+    spark = get_spark(f"build{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    if not os.path.exists(os.path.join(pages_dir, "_SUCCESS")):
+        gen_pages(spark, n_docs, include_fixtures=False, partitions=64).write.mode(
+            "overwrite"
+        ).parquet(pages_dir)
+    pages = spark.read.parquet(pages_dir)
+    out = tempfile.mkdtemp(prefix="yaii_scalebuild_")
+    try:
+        t0 = time.time()
+        build_index(spark, pages, f"{out}/idx", seg_size=1024,
+                    stored_cols=["url", "lang"], resume=False)
+        wall = time.time() - t0
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        spark.stop()
+    print(json.dumps({"cpus": cpus, "wall_sec": round(wall, 2),
+                      "docs_per_sec": round(n_docs / wall, 1)}))
+
+
+if __name__ == "__main__":
+    main()
