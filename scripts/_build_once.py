@@ -1,6 +1,6 @@
 """One timed index build at a given core count (scaling harness leg).
 
-Usage: python scripts/_build_once.py <cpus> <pages_parquet_dir> <n_docs>
+Usage: python scripts/_build_once.py <cpus> <pages_parquet_dir> <n_docs> [tok_lo] [tok_hi]
 Prints one JSON line {"cpus", "wall_sec", "docs_per_sec"}.
 Generates the corpus into <pages_parquet_dir> if absent (untimed).
 """
@@ -21,6 +21,9 @@ def main() -> None:
     cpus = int(sys.argv[1])
     pages_dir = sys.argv[2]
     n_docs = int(sys.argv[3])
+    tok_range = (
+        (int(sys.argv[4]), int(sys.argv[5])) if len(sys.argv) > 5 else (8, 64)
+    )
 
     from yaii_spark.session import get_spark
     from yaii_spark.synth import gen_pages
@@ -28,9 +31,9 @@ def main() -> None:
 
     spark = get_spark(f"build{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus)
     if not os.path.exists(os.path.join(pages_dir, "_SUCCESS")):
-        gen_pages(spark, n_docs, include_fixtures=False, partitions=64).write.mode(
-            "overwrite"
-        ).parquet(pages_dir)
+        gen_pages(
+            spark, n_docs, include_fixtures=False, partitions=64, tokens_range=tok_range
+        ).write.mode("overwrite").parquet(pages_dir)
     pages = spark.read.parquet(pages_dir)
     out = tempfile.mkdtemp(prefix="yaii_scalebuild_")
     try:

@@ -48,10 +48,13 @@ def cpu_control(procs: int, work: int = 4_000_000, rounds: int = 3) -> float:
     return procs * rounds * work / (time.time() - t0)
 
 
+TOK_LO, TOK_HI = 150, 250  # realistic web-page token counts → CPU-dominant
+
+
 def build_leg(cpus: int, pages_dir: str, n_docs: int) -> dict:
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "_build_once.py"),
-         str(cpus), pages_dir, str(n_docs)],
+         str(cpus), pages_dir, str(n_docs), str(TOK_LO), str(TOK_HI)],
         capture_output=True, text=True, timeout=1800,
     )
     line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
@@ -74,7 +77,9 @@ def main():
     hi = int(sys.argv[4]) if len(sys.argv) > 4 else lo * 4
     rounds = int(sys.argv[5]) if len(sys.argv) > 5 else 3
 
-    pages_dir = os.path.join(tempfile.gettempdir(), f"yaii_scaling_pages_{n_docs}")
+    pages_dir = os.path.join(
+        tempfile.gettempdir(), f"yaii_scaling_pages_{n_docs}_{TOK_LO}_{TOK_HI}"
+    )
     legs: dict[int, list[float]] = {lo: [], hi: []}
     ctls: dict[int, list[float]] = {lo: [], hi: []}
     for r in range(rounds):
@@ -99,9 +104,10 @@ def main():
     with open(path, "w") as f:
         f.write(f"""# BENCH baseline — two-cluster-size scaling evidence
 
-Index build over {n_docs:,} synthetic Common-Crawl-style pages
-(pre-generated parquet, generation untimed; fields text+_all, seg_size
-1024 → {n_docs // 1024} segments). Interleaved A/B legs x{rounds},
+Index build over {n_docs:,} synthetic Common-Crawl-style pages of
+{TOK_LO}-{TOK_HI} tokens each (realistic web-page lengths; pre-generated
+parquet, generation untimed; fields text+_all, seg_size 1024 →
+{n_docs // 1024} segments). Interleaved A/B legs x{rounds},
 medians; adjacent pure-CPU controls normalize host-load drift.
 N={lo} vs 4N={hi} cores, single host, {datetime.date.today().isoformat()}.
 

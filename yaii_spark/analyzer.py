@@ -96,6 +96,64 @@ tokenize_udf = F.pandas_udf(_tokenize_series, T.ArrayType(T.StringType()))
 tokenize_all_udf = F.pandas_udf(_tokenize_all_series, T.ArrayType(T.StringType()))
 
 
+_ENTRY_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("term", T.StringType()),
+            T.StructField("tf", T.IntegerType()),
+            T.StructField("positions", T.ArrayType(T.IntegerType())),
+        ]
+    )
+)
+
+DOC_STATS_TYPE = T.StructType(
+    [
+        T.StructField("dl", T.IntegerType()),
+        T.StructField("text_entries", _ENTRY_TYPE),
+        T.StructField("all_entries", _ENTRY_TYPE),
+    ]
+)
+
+
+def _entries(tokens: List[str]) -> list:
+    agg: dict[str, list[int]] = {}
+    for i, tk in enumerate(tokens):
+        agg.setdefault(tk, []).append(i)
+    return [
+        {"term": k, "tf": len(v), "positions": v} for k, v in agg.items()
+    ]
+
+
+def doc_stats(text: str) -> dict:
+    """Per-doc term statistics for both default fields in one pass:
+    dl + (term, tf, positions) for 'text' (stopwords kept) and '_all'
+    (stopword-filtered, positions in the filtered stream). Computing
+    tf/positions doc-locally removes the first wide shuffle of the
+    index build (the (seg,field,term,doc) groupBy) — the map side does
+    the combine, like Lucene's per-doc inverter."""
+    toks = tokenize(text)
+    return {
+        "dl": len(toks),
+        "text_entries": _entries(toks),
+        "all_entries": _entries([t for t in toks if t not in STOPWORDS]),
+    }
+
+
+def _doc_stats_series(s: pd.Series) -> pd.DataFrame:
+    rows = [doc_stats(x) if x is not None else None for x in s]
+    return pd.DataFrame(
+        {
+            "dl": [r["dl"] if r else None for r in rows],
+            "text_entries": [r["text_entries"] if r else None for r in rows],
+            "all_entries": [r["all_entries"] if r else None for r in rows],
+        },
+        index=s.index,
+    )
+
+
+doc_stats_udf = F.pandas_udf(_doc_stats_series, DOC_STATS_TYPE)
+
+
 def make_rule_tokenizer(rules: list[tuple[str, str, bool]]):
     """Lexer-style rule tokenizer — re-expression of yaii's mooTokenizer
     (/root/reference/src/lib/analyzer/moo-tokenizer.ts:6-22): ordered

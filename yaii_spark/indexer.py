@@ -46,7 +46,12 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
-from yaii_spark.analyzer import tokenize_all_udf, tokenize_udf, with_tokens
+from yaii_spark.analyzer import (
+    doc_stats_udf,
+    tokenize_all_udf,
+    tokenize_udf,
+    with_tokens,
+)
 from yaii_spark.codec import delta_encode, encode_positions, varint_encode
 
 DEFAULT_K1 = 1.2  # Lucene/ES defaults — yaii's stated design base
@@ -120,23 +125,28 @@ def _make_segment_encoder(avgdl: float, k1: float, b: float):
 
 _SEG_META_SCHEMA = "seg_id long, n_docs long, base_doc_id long, dl_bin binary"
 
+_META_ENC_SCHEMA = T.StructType(
+    [
+        T.StructField("n_docs", T.LongType()),
+        T.StructField("dl_bin", T.BinaryType()),
+    ]
+)
 
-def _seg_meta_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-    seg_id = int(pdf["seg_id"].iloc[0])
-    local = pdf["local_id"].to_numpy()
-    dl = pdf["dl"].to_numpy()
-    order = np.argsort(local)
-    n = int(local.max()) + 1
-    dls = np.zeros(n, dtype=np.uint64)
-    dls[local[order]] = dl[order]
-    return pd.DataFrame(
-        {
-            "seg_id": [seg_id],
-            "n_docs": [n],
-            "base_doc_id": [int(pdf["base_doc_id"].iloc[0])],
-            "dl_bin": [varint_encode(dls)],
-        }
-    )
+
+@F.pandas_udf(_META_ENC_SCHEMA)
+def _encode_dl_udf(lds: pd.Series) -> pd.DataFrame:
+    """(local_id, dl) struct array (sorted) → dense varint dl blob.
+    Gaps (absent local ids) become dl=0."""
+    n_out, b_out = [], []
+    for ld in lds:
+        local = np.array([e["local_id"] for e in ld], dtype=np.int64)
+        dl = np.array([e["dl"] for e in ld], dtype=np.uint64)
+        n = int(local.max()) + 1 if local.size else 0
+        dls = np.zeros(n, dtype=np.uint64)
+        dls[local] = dl
+        n_out.append(n)
+        b_out.append(varint_encode(dls))
+    return pd.DataFrame({"n_docs": n_out, "dl_bin": b_out})
 
 
 def build_index(
@@ -169,7 +179,11 @@ def build_index(
     (FIXTURES.md §6).
     """
     t0 = time.time()
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # dynamic partition overwrite (stage+move per partition dir) only
+    # pays off when overwriting a partially-built index; fresh builds
+    # use the cheap static path
+    overwrite_mode = "dynamic" if os.path.exists(os.path.join(out_dir, "postings")) else "static"
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", overwrite_mode)
     if fields is None:
         fields = {"text": (text_col, "standard"), "_all": (text_col, "all")}
 
@@ -180,9 +194,23 @@ def build_index(
     if pages.rdd.getNumPartitions() < par:
         pages = pages.repartition(par * 2)
 
-    docs = with_tokens(pages, text_col=text_col).withColumn(
-        "dl", F.size("tokens")
+    # fast path: per-doc (term, tf, positions) computed inside the
+    # analyzer UDF (map-side combine, Lucene-inverter style) — removes
+    # the (seg, field, term, doc) groupBy shuffle entirely. Applies to
+    # any field map sourced from text_col with standard/all analyzers;
+    # exotic configs fall back to the explode+groupBy path.
+    fast = all(
+        src == text_col and an in ("standard", "all")
+        for src, an in fields.values()
     )
+    if fast:
+        docs = pages.withColumn("_ts", doc_stats_udf(F.col(text_col))).withColumn(
+            "dl", F.col("_ts.dl").cast("long")
+        )
+    else:
+        docs = with_tokens(pages, text_col=text_col).withColumn(
+            "dl", F.size("tokens")
+        )
     docs = docs.withColumn("seg_id", (F.col(id_col) / F.lit(seg_size)).cast("long"))
     docs = docs.withColumn(
         "local_id", (F.col(id_col) - F.col("seg_id") * F.lit(seg_size)).cast("long")
@@ -192,11 +220,14 @@ def build_index(
     # seg_meta, postings) reuses the cached tokenized batch
     docs = docs.persist()
 
-    # ---- corpus stats over the FULL input (stable across resumes) ----
+    # ---- corpus stats + segment list in ONE job (stable across resumes) ----
     stats_row = docs.agg(
-        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+        F.count("*").alias("n"),
+        F.avg("dl").alias("avgdl"),
+        F.collect_set("seg_id").alias("segs"),
     ).collect()[0]
     n_total, avgdl = int(stats_row["n"]), float(stats_row["avgdl"])
+    all_segs = sorted(stats_row["segs"])
 
     # ---- resume: skip segments already checkpointed ----
     ckpt_path = os.path.join(out_dir, "checkpoints")
@@ -210,9 +241,6 @@ def build_index(
         except Exception:
             done = set()
 
-    all_segs = sorted(
-        r.seg_id for r in docs.select("seg_id").distinct().collect()
-    )
     pending = [s for s in all_segs if s not in done]
     if max_segments is not None:
         pending = pending[:max_segments]
@@ -239,11 +267,15 @@ def build_index(
             .parquet(os.path.join(out_dir, "docs"))
         )
 
-        # ---- per-segment doc-length blobs ----
+        # ---- per-segment doc-length blobs (JVM agg + tiny encode UDF:
+        # one row per segment reaches Python, not one per doc) ----
         (
-            batch.select("seg_id", "local_id", "dl", "base_doc_id")
-            .groupBy("seg_id")
-            .applyInPandas(_seg_meta_fn, schema=_SEG_META_SCHEMA)
+            batch.groupBy("seg_id", "base_doc_id")
+            .agg(
+                F.sort_array(F.collect_list(F.struct("local_id", "dl"))).alias("ld")
+            )
+            .select("seg_id", "base_doc_id", _encode_dl_udf(F.col("ld")).alias("m"))
+            .select("seg_id", F.col("m.n_docs").alias("n_docs"), "base_doc_id", F.col("m.dl_bin").alias("dl_bin"))
             .write.mode("overwrite")
             .partitionBy("seg_id")
             .parquet(os.path.join(out_dir, "seg_meta"))
@@ -251,35 +283,54 @@ def build_index(
 
         # ---- postings (multi-field: yaii indexes every searchable
         # field separately + the £_ALL catch-all) ----
-        from yaii_spark.analyzer import STOPWORDS
-
-        stop_arr = F.array(*[F.lit(w) for w in sorted(STOPWORDS)])
-        parts = []
-        for fname, (src, analyzer) in sorted(fields.items()):
-            if src == text_col and analyzer == "standard":
-                tcol = F.col("tokens")
-            elif src == text_col and analyzer == "all":
-                # stopword filter over the already-tokenized array —
-                # JVM-side, preserves duplicates/order, no 2nd UDF pass
-                tcol = F.filter("tokens", lambda t: ~F.array_contains(stop_arr, t))
-            else:
-                tcol = ANALYZERS[analyzer](F.col(src))
-            parts.append(
-                batch.select(
-                    "seg_id",
-                    F.col(id_col).alias("doc_id"),
-                    "dl",
-                    F.lit(fname).alias("field"),
-                    F.posexplode(tcol).alias("pos", "term"),
+        if fast:
+            # per-doc stats were computed inside the analyzer UDF —
+            # explode straight to (field, term, doc, tf, positions);
+            # the first wide shuffle (groupBy seg,field,term,doc) is gone
+            ent_col = {"standard": "_ts.text_entries", "all": "_ts.all_entries"}
+            parts = []
+            for fname, (_, analyzer) in sorted(fields.items()):
+                parts.append(
+                    batch.select(
+                        "seg_id",
+                        F.col(id_col).alias("doc_id"),
+                        "dl",
+                        F.lit(fname).alias("field"),
+                        F.explode(F.col(ent_col[analyzer])).alias("e"),
+                    ).select(
+                        "seg_id", "doc_id", "dl", "field",
+                        F.col("e.term").alias("term"),
+                        F.col("e.tf").cast("long").alias("tf"),
+                        F.col("e.positions").alias("positions"),
+                    )
                 )
+            tfpos = parts[0]
+            for p in parts[1:]:
+                tfpos = tfpos.unionByName(p)
+        else:
+            parts = []
+            for fname, (src, analyzer) in sorted(fields.items()):
+                tcol = (
+                    F.col("tokens")
+                    if (src == text_col and analyzer == "standard")
+                    else ANALYZERS[analyzer](F.col(src))
+                )
+                parts.append(
+                    batch.select(
+                        "seg_id",
+                        F.col(id_col).alias("doc_id"),
+                        "dl",
+                        F.lit(fname).alias("field"),
+                        F.posexplode(tcol).alias("pos", "term"),
+                    )
+                )
+            tok = parts[0]
+            for p in parts[1:]:
+                tok = tok.unionByName(p)
+            tfpos = tok.groupBy("seg_id", "field", "term", "doc_id", "dl").agg(
+                F.count("*").alias("tf"),
+                F.sort_array(F.collect_list("pos")).alias("positions"),
             )
-        tok = parts[0]
-        for p in parts[1:]:
-            tok = tok.unionByName(p)
-        tfpos = tok.groupBy("seg_id", "field", "term", "doc_id", "dl").agg(
-            F.count("*").alias("tf"),
-            F.sort_array(F.collect_list("pos")).alias("positions"),
-        )
         # shard the per-segment posting build by term hash so one task
         # never holds a whole 2^20-doc segment's postings in memory;
         # shards stay term-complete so each (field, term) is built once
@@ -298,10 +349,12 @@ def build_index(
         )
 
         # ---- checkpoints / lineage (after postings are durable) ----
+        # one cached read of the durable postings feeds both the
+        # per-segment lineage counts and the corpus-wide term stats
+        post_all = spark.read.parquet(os.path.join(out_dir, "postings")).cache()
         seg_counts = {
             r.seg_id: (r.nd, r.np)
-            for r in spark.read.parquet(os.path.join(out_dir, "postings"))
-            .filter(F.col("seg_id").isin([int(s) for s in pending]))
+            for r in post_all.filter(F.col("seg_id").isin([int(s) for s in pending]))
             .groupBy("seg_id")
             .agg(F.sum("df_local").alias("nd"), F.count("*").alias("np"))
             .collect()
@@ -316,10 +369,11 @@ def build_index(
         )
         mode = "append" if (resume and os.path.exists(ckpt_path)) else "overwrite"
         ck.write.mode(mode).parquet(ckpt_path)
+    else:
+        post_all = spark.read.parquet(os.path.join(out_dir, "postings"))
 
     # ---- corpus-wide term stats (recomputed from durable postings —
     # correct under resume because postings are the source of truth) ----
-    post_all = spark.read.parquet(os.path.join(out_dir, "postings"))
     (
         post_all.groupBy("field", "term")
         .agg(F.sum("df_local").alias("df"), F.sum("cf_local").alias("cf"))
@@ -328,6 +382,8 @@ def build_index(
         .write.mode("overwrite")
         .parquet(os.path.join(out_dir, "term_stats"))
     )
+    if pending:
+        post_all.unpersist()
     spark.createDataFrame(
         [(n_total, avgdl, float(k1), float(b), int(seg_size))],
         "n_docs long, avgdl double, k1 double, b double, seg_size long",

@@ -46,6 +46,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # task-side commit moves (v2): the v1 driver-serial rename of
+        # hundreds of partition dirs dominates small-build wall time
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+        .config("spark.sql.parquet.compression.codec", "snappy")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

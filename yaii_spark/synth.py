@@ -72,10 +72,10 @@ def render_html(text: str) -> bytes:
     return f"<html><head></head><body>{paras}</body></html>".encode("utf-8")
 
 
-def gen_text(doc_id: int, hot_fraction: float = 0.0) -> str:
+def gen_text(doc_id: int, hot_fraction: float = 0.0, tokens_range: tuple = (8, 64)) -> str:
     """Seeded Zipf sampling from VOCAB; deterministic per doc_id."""
     rng = np.random.default_rng(42 + doc_id)
-    n = int(rng.integers(8, 64))
+    n = int(rng.integers(*tokens_range))
     # Zipf over vocabulary ranks
     ranks = rng.zipf(1.3, size=n)
     words = [VOCAB[(r - 1) % _VOCAB_SIZE] for r in ranks]
@@ -84,7 +84,7 @@ def gen_text(doc_id: int, hot_fraction: float = 0.0) -> str:
     return " ".join(words)
 
 
-def _gen_batch(pdf_iter, n_fixture: int, hot_fraction: float):
+def _gen_batch(pdf_iter, n_fixture: int, hot_fraction: float, tokens_range: tuple = (8, 64)):
     for pdf in pdf_iter:
         ids = pdf["id"].to_numpy()
         rows = {"doc_id": [], "url": [], "warc_ts": [], "html": [], "text": [], "lang": [], "num_attr": []}
@@ -93,7 +93,7 @@ def _gen_batch(pdf_iter, n_fixture: int, hot_fraction: float):
             if i < n_fixture:
                 text = FIXTURE_TEXTS[i]
             else:
-                text = gen_text(i, hot_fraction)
+                text = gen_text(i, hot_fraction, tokens_range)
             rows["doc_id"].append(i)
             rows["url"].append(f"https://site{i % 97}.example/doc/{i}")
             rows["warc_ts"].append(EPOCH + dt.timedelta(seconds=i))
@@ -111,12 +111,14 @@ def gen_pages(
     include_fixtures: bool = True,
     hot_fraction: float = 0.0,
     partitions: int | None = None,
+    tokens_range: tuple = (8, 64),
 ) -> DataFrame:
     """Distributed deterministic pages table of n rows."""
     n_fixture = len(FIXTURE_TEXTS) if include_fixtures else 0
     rng_df = spark.range(0, n, 1, partitions or spark.sparkContext.defaultParallelism)
     return rng_df.mapInPandas(
-        lambda it: _gen_batch(it, n_fixture, hot_fraction), schema=PAGES_SCHEMA
+        lambda it: _gen_batch(it, n_fixture, hot_fraction, tokens_range),
+        schema=PAGES_SCHEMA,
     )
 
 
