@@ -29,13 +29,21 @@ def main() -> None:
     from yaii_spark.synth import gen_pages
     from yaii_spark.indexer import build_index
 
-    spark = get_spark(f"build{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    # shuffle + spill on tmpfs: models a cluster node's local NVMe;
+    # the sandbox's shared virtual disk otherwise caps the 8-thread legs
+    # at its bandwidth and the measurement stops being about the engine
+    local_dir = "/dev/shm/spark-local"
+    os.makedirs(local_dir, exist_ok=True)
+    spark = get_spark(
+        f"build{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus,
+        extra_conf={"spark.local.dir": local_dir},
+    )
     if not os.path.exists(os.path.join(pages_dir, "_SUCCESS")):
         gen_pages(
             spark, n_docs, include_fixtures=False, partitions=64, tokens_range=tok_range
         ).write.mode("overwrite").parquet(pages_dir)
     pages = spark.read.parquet(pages_dir)
-    out = tempfile.mkdtemp(prefix="yaii_scalebuild_")
+    out = tempfile.mkdtemp(prefix="yaii_scalebuild_", dir="/dev/shm")
     try:
         t0 = time.time()
         build_index(spark, pages, f"{out}/idx", seg_size=1024,

@@ -91,3 +91,22 @@ def test_checkpoint_lineage_rows(spark, work_dir):
     assert set(rows) == {0, 1}
     for r in rows.values():
         assert r.status == "done" and r.n_terms > 0 and r.wall_sec > 0
+
+
+def test_hot_term_skew_and_partitioning_invariance(spark, work_dir):
+    """FIXTURES.md §5: a stopword-grade hot term (≈40% of docs) must not
+    change results across input partitionings — segmentation bounds the
+    hot term's per-group size (the skew design, indexer.py docstring)."""
+    a_dir, b_dir = f"{work_dir}/skew_a", f"{work_dir}/skew_b"
+    build_index(spark, gen_pages(spark, 2000, hot_fraction=0.4, partitions=2),
+                a_dir, seg_size=256)
+    build_index(spark, gen_pages(spark, 2000, hot_fraction=0.4, partitions=16),
+                b_dir, seg_size=256)
+    assert _postings_snapshot(spark, a_dir) == _postings_snapshot(spark, b_dir)
+    ca, cb = IndexCatalog(spark, a_dir), IndexCatalog(spark, b_dir)
+    for cat in (ca, cb):
+        n_hot = cat.term_stats_for([("text", "hotterm")])[("text", "hotterm")][0]
+        assert 600 < n_hot < 1000  # ≈40% of 2000 ± randomness
+    qa = [(r.doc_id, r.score) for r in bm25_topk(ca, ["hotterm"], k=20).collect()]
+    qb = [(r.doc_id, r.score) for r in bm25_topk(cb, ["hotterm"], k=20).collect()]
+    assert qa == qb
