@@ -306,6 +306,13 @@ def queries():
         # filter, 'the' does not
         "q_token_all_field": _bool_q(lambda: A.token("dup", "_all")),
         "q_token_all_stopword": _bool_q(lambda: A.token("the", "_all")),
+        # phrase / proximity over stored positions (pos_bin consumer)
+        "q_phrase": _bool_q(lambda: A.phrase(["value", "table"])),
+        "q_phrase3": _bool_q(lambda: A.phrase(["table", "table", "part"])),
+        "q_phrase_slop": _bool_q(lambda: A.phrase(["key", "scan"], slop=2)),
+        # dictionary-scan predicates (P8: TOKEN_RANGE / TEXT_CONTAINS)
+        "q_token_range": _bool_q(lambda: A.token_range("text", "ba", "bz")),
+        "q_text_contains": _bool_q(lambda: A.text_contains("ort")),
         # attribute predicates (P3-P5)
         "q_number_eq": _bool_q(lambda: A.number("n_chars", 157)),
         "q_number_range": _bool_q(lambda: A.number_range("n_chars", 100, 200)),
@@ -376,6 +383,20 @@ def oracle_sql():
         f"list_filter(toks, t -> NOT list_contains({_stoplist_sql()} || [''], t)), 'dup')",
         "q_token_all_stopword": f"WITH {_TOK_CTE} SELECT doc_id FROM tok WHERE list_contains("
         f"list_filter(toks, t -> NOT list_contains({_stoplist_sql()} || [''], t)), 'the')",
+        "q_phrase": ids_where(
+            "len(list_filter(range(1, len(toks)), "
+            "i -> toks[i]='value' AND toks[i+1]='table')) > 0"
+        ),
+        "q_phrase3": ids_where(
+            "len(list_filter(range(1, len(toks)-1), "
+            "i -> toks[i]='table' AND toks[i+1]='table' AND toks[i+2]='part')) > 0"
+        ),
+        "q_phrase_slop": ids_where(
+            "len(list_filter(range(1, len(toks)), i -> toks[i]='key' AND "
+            "len(list_filter(range(i+1, least(i+4, len(toks)+1)), j -> toks[j]='scan')) > 0)) > 0"
+        ),
+        "q_token_range": ids_where("len(list_filter(toks, t -> t >= 'ba' AND t < 'bz')) > 0"),
+        "q_text_contains": ids_where("len(list_filter(toks, t -> contains(t, 'ort'))) > 0"),
         "q_number_eq": "SELECT doc_id FROM documents WHERE n_chars = 157",
         "q_number_range": "SELECT doc_id FROM documents WHERE n_chars >= 100 AND n_chars < 200",
         "q_has_field": "SELECT doc_id FROM documents WHERE lang IS NOT NULL",

@@ -18,6 +18,27 @@ from yaii_spark.analyzer import tokenize, tokenize_all_field
 from yaii_spark.queries import ast as A
 
 
+def _phrase_match(tokens: list[str], terms: list[str], slop: int) -> bool:
+    """Brute-force phrase check: ∃ positions p_0 < … < p_{k-1} with
+    tokens[p_j] == terms[j] and (p_last − p_0) − (k−1) ≤ slop. O(n·k)
+    exhaustive recursion — the authority the vectorized engine path
+    must match."""
+    if not terms:
+        return False
+    starts = [i for i, t in enumerate(tokens) if t == terms[0]]
+
+    def extend(prev: int, j: int, start: int) -> bool:
+        if j == len(terms):
+            return (prev - start) - (len(terms) - 1) <= slop
+        return any(
+            extend(i, j + 1, start)
+            for i in range(prev + 1, len(tokens))
+            if tokens[i] == terms[j]
+        )
+
+    return any(extend(p, 1, p) for p in starts)
+
+
 class BruteForceIndex:
     def __init__(self, docs: dict[int, str], attrs: dict[int, dict] | None = None):
         """docs: doc_id -> text; attrs: doc_id -> attribute dict."""
@@ -36,6 +57,29 @@ class BruteForceIndex:
         if isinstance(node, A.Token):
             toks_by_doc = self.field_tokens.get(node.field_name, {})
             return {d for d, toks in toks_by_doc.items() if node.term in toks}
+        if isinstance(node, A.Phrase):
+            toks_by_doc = self.field_tokens.get(node.field_name, {})
+            return {
+                d
+                for d, toks in toks_by_doc.items()
+                if _phrase_match(toks, list(node.terms), node.slop)
+            }
+        if isinstance(node, A.TokenRange):
+            toks_by_doc = self.field_tokens.get(node.field_name, {})
+
+            def in_range(t):
+                if node.lo is not None and (t < node.lo or (t == node.lo and not node.lo_inclusive)):
+                    return False
+                if node.hi is not None and (t > node.hi or (t == node.hi and not node.hi_inclusive)):
+                    return False
+                return True
+
+            return {d for d, toks in toks_by_doc.items() if any(in_range(t) for t in toks)}
+        if isinstance(node, A.TextContains):
+            toks_by_doc = self.field_tokens.get(node.field_name, {})
+            return {
+                d for d, toks in toks_by_doc.items() if any(node.needle in t for t in toks)
+            }
         if isinstance(node, A.All):
             return set(self.all_ids)
         if isinstance(node, A.NoneNode):

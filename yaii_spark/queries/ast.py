@@ -39,6 +39,55 @@ class Token(Node):
 
 
 @dataclass(frozen=True)
+class Phrase(Node):
+    """Ordered phrase / proximity match over stored positions.
+
+    Matches documents containing positions p_0 < p_1 < … < p_{k-1}
+    (p_j an occurrence of terms[j] in the field's token stream) with
+    total in-order gap (p_{k-1} − p_0) − (k−1) ≤ slop; slop=0 is the
+    exact-adjacency phrase. This is the consumer of the pos_bin bytes
+    the index stores for every posting (north_rule:
+    term -> [docID, tf, positions]); the reference has no positions,
+    so this is a capability extension, not parity."""
+
+    terms: tuple
+    field_name: str = "text"
+    slop: int = 0
+
+    def __init__(self, terms, field_name: str = "text", slop: int = 0):
+        object.__setattr__(self, "terms", tuple(terms))
+        object.__setattr__(self, "field_name", field_name)
+        object.__setattr__(self, "slop", int(slop))
+
+
+@dataclass(frozen=True)
+class TokenRange(Node):
+    """Dictionary range predicate (the reference's declared-but-NYI
+    TOKEN_RANGE, /root/reference/src/lib/api/base.ts:65 — throws at
+    query-ir.ts:220-223): matches docs containing ANY term t with
+    lo ≤ t ≤/< hi (binary order). Evaluated as a term-range postings
+    scan — parquet row-group min/max stats on the term-sorted files
+    prune it like a B-tree range."""
+
+    field_name: str
+    lo: str | None = None
+    hi: str | None = None
+    lo_inclusive: bool = True
+    hi_inclusive: bool = False
+
+
+@dataclass(frozen=True)
+class TextContains(Node):
+    """Substring-of-token predicate (the reference's declared-but-NYI
+    TEXT_CONTAINS, base.ts:67): matches docs containing any term with
+    `needle` as a substring. A full dictionary scan by construction —
+    bounded per segment, expanded to the matching terms' postings."""
+
+    field_name: str
+    needle: str
+
+
+@dataclass(frozen=True)
 class NumberEq(Node):
     field_name: str
     value: int
@@ -109,6 +158,24 @@ def token(term: str, field_name: str = "text") -> Node:
 
 def tokens_any(terms: list[str], field_name: str = "text") -> Node:
     return Or([Token(t, field_name) for t in terms])
+
+
+def phrase(terms: list[str], field_name: str = "text", slop: int = 0) -> Node:
+    return Phrase(terms, field_name, slop)
+
+
+def token_range(
+    field_name: str,
+    lo: str | None = None,
+    hi: str | None = None,
+    lo_inclusive: bool = True,
+    hi_inclusive: bool = False,
+) -> Node:
+    return TokenRange(field_name, lo, hi, lo_inclusive, hi_inclusive)
+
+
+def text_contains(needle: str, field_name: str = "text") -> Node:
+    return TextContains(field_name, needle)
 
 
 def and_(*nodes: Node) -> Node:
@@ -205,6 +272,12 @@ def rewrite(node: Node) -> Node:
         if isinstance(c, Not):
             return c.child  # double negation
         return Not(c)
+    if isinstance(node, Phrase):
+        if not node.terms:
+            return NoneNode()
+        if len(node.terms) == 1:
+            return Token(node.terms[0], node.field_name)  # 1-gram ≡ token
+        return node
     return node
 
 
@@ -212,6 +285,8 @@ def collect_terms(node: Node) -> set[tuple[str, str]]:
     """All (field, term) pairs referenced by the tree."""
     if isinstance(node, Token):
         return {(node.field_name, node.term)}
+    if isinstance(node, Phrase):
+        return {(node.field_name, t) for t in node.terms}
     if isinstance(node, (And, Or)):
         out: set[tuple[str, str]] = set()
         for c in node.children:
@@ -229,6 +304,11 @@ def prune_absent_terms(node: Node, present: set[tuple[str, str]]) -> Node:
     def walk(n: Node) -> Node:
         if isinstance(n, Token):
             return n if (n.field_name, n.term) in present else NoneNode()
+        if isinstance(n, Phrase):
+            # every phrase term must exist (conjunctive mayMatch)
+            if all((n.field_name, t) in present for t in n.terms):
+                return n
+            return NoneNode()
         if isinstance(n, And):
             return And([walk(c) for c in n.children])
         if isinstance(n, Or):
@@ -243,10 +323,36 @@ def prune_absent_terms(node: Node, present: set[tuple[str, str]]) -> Node:
 def is_token_only(node: Node) -> bool:
     """True if the subtree touches only posting lists (no attribute
     predicates) — eligible for the per-segment numpy set-algebra path."""
-    if isinstance(node, (Token, All, NoneNode)):
+    if isinstance(node, (Token, Phrase, TokenRange, TextContains, All, NoneNode)):
         return True
     if isinstance(node, (And, Or)):
         return all(is_token_only(c) for c in node.children)
     if isinstance(node, Not):
         return is_token_only(node.child)
     return False
+
+
+def needs_positions(node: Node) -> bool:
+    """True if evaluating the tree requires decoded positions (any
+    Phrase leaf) — the executor only ships pos_bin/tfs_bin when so."""
+    if isinstance(node, Phrase):
+        return True
+    if isinstance(node, (And, Or)):
+        return any(needs_positions(c) for c in node.children)
+    if isinstance(node, Not):
+        return needs_positions(node.child)
+    return False
+
+
+def collect_term_scans(node: Node) -> list:
+    """All TokenRange/TextContains leaves (dictionary-scan predicates)."""
+    if isinstance(node, (TokenRange, TextContains)):
+        return [node]
+    if isinstance(node, (And, Or)):
+        out = []
+        for c in node.children:
+            out.extend(collect_term_scans(c))
+        return out
+    if isinstance(node, Not):
+        return collect_term_scans(node.child)
+    return []

@@ -41,9 +41,90 @@ def _empty_ids(spark) -> DataFrame:
 # numpy set algebra over one segment (local doc ids)
 # ---------------------------------------------------------------------------
 
-def _eval_numpy(node: A.Node, postings: dict, n_docs: int) -> np.ndarray:
+def _ordered_window(qs: list, slop: int) -> bool:
+    """True if ∃ non-decreasing chain q_0 ≤ q_1 ≤ … with q_last − q_0 ≤
+    slop (qs are the j-shifted position arrays, sorted ascending). The
+    greedy minimal chain per start is optimal; starts ascend, so the
+    first exhausted tail list ends the search."""
+    if slop == 0:
+        acc = qs[0]
+        for q in qs[1:]:
+            acc = np.intersect1d(acc, q, assume_unique=True)
+            if acc.size == 0:
+                return False
+        return True
+    for q0 in qs[0]:
+        prev = q0
+        for q in qs[1:]:
+            i = np.searchsorted(q, prev, side="left")
+            if i == q.size:
+                return False
+            prev = q[i]
+        if prev - q0 <= slop:
+            return True
+    return False
+
+
+def _eval_phrase(node: A.Phrase, pos_map: dict) -> np.ndarray:
+    """Phrase/proximity over decoded positions: intersect doc ids
+    (smallest list leads, like the conjunction path), then verify the
+    in-order window condition per surviving doc."""
+    entries = []
+    for t in node.terms:
+        e = pos_map.get((node.field_name, t))
+        if e is None:
+            return np.empty(0, dtype=np.int64)
+        entries.append(e)  # (ids ascending, positions list aligned to ids)
+    cand = entries[0][0]
+    for ids, _ in sorted(entries[1:], key=lambda e: e[0].size):
+        if cand.size == 0:
+            return cand
+        cand = np.intersect1d(cand, ids, assume_unique=True)
+    out = []
+    for d in cand:
+        qs = [
+            plists[int(np.searchsorted(ids, d))].astype(np.int64) - j
+            for j, (ids, plists) in enumerate(entries)
+        ]
+        if _ordered_window(qs, node.slop):
+            out.append(int(d))
+    return np.asarray(out, dtype=np.int64)
+
+
+def _term_in_range(t: str, node: A.TokenRange) -> bool:
+    if node.lo is not None and (t < node.lo or (t == node.lo and not node.lo_inclusive)):
+        return False
+    if node.hi is not None and (t > node.hi or (t == node.hi and not node.hi_inclusive)):
+        return False
+    return True
+
+
+def _eval_numpy(node: A.Node, postings: dict, n_docs: int, pos_map: dict | None = None) -> np.ndarray:
     if isinstance(node, A.Token):
         return postings.get((node.field_name, node.term), np.empty(0, dtype=np.int64))
+    if isinstance(node, A.Phrase):
+        return _eval_phrase(node, pos_map or {})
+    if isinstance(node, A.TokenRange):
+        # union of every dictionary term in range (P8 TOKEN_RANGE:
+        # the postings fetch already restricted the scan, this just
+        # re-applies the predicate over the fetched rows)
+        sets = [
+            ids
+            for (f, t), ids in postings.items()
+            if f == node.field_name and _term_in_range(t, node) and ids.size
+        ]
+        if not sets:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(np.concatenate(sets))
+    if isinstance(node, A.TextContains):
+        sets = [
+            ids
+            for (f, t), ids in postings.items()
+            if f == node.field_name and node.needle in t and ids.size
+        ]
+        if not sets:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(np.concatenate(sets))
     if isinstance(node, A.All):
         return np.arange(n_docs, dtype=np.int64)
     if isinstance(node, A.NoneNode):
@@ -54,7 +135,7 @@ def _eval_numpy(node: A.Node, postings: dict, n_docs: int) -> np.ndarray:
         pos = [c for c in node.children if not isinstance(c, A.Not)]
         neg = [c.child for c in node.children if isinstance(c, A.Not)]
         if pos:
-            sets = sorted((_eval_numpy(c, postings, n_docs) for c in pos), key=len)
+            sets = sorted((_eval_numpy(c, postings, n_docs, pos_map) for c in pos), key=len)
             acc = sets[0]
             for s in sets[1:]:
                 if acc.size == 0:
@@ -65,20 +146,33 @@ def _eval_numpy(node: A.Node, postings: dict, n_docs: int) -> np.ndarray:
         for c in neg:  # andNot (operations.ts:184-226)
             if acc.size == 0:
                 return acc
-            s = _eval_numpy(c, postings, n_docs)
+            s = _eval_numpy(c, postings, n_docs, pos_map)
             if s.size:
                 acc = np.setdiff1d(acc, s, assume_unique=True)
         return acc
     if isinstance(node, A.Or):
-        sets = [_eval_numpy(c, postings, n_docs) for c in node.children]
+        sets = [_eval_numpy(c, postings, n_docs, pos_map) for c in node.children]
         sets = [s for s in sets if s.size]
         if not sets:
             return np.empty(0, dtype=np.int64)
         return np.unique(np.concatenate(sets))  # k-way merge (orMany)
     if isinstance(node, A.Not):
-        s = _eval_numpy(node.child, postings, n_docs)
+        s = _eval_numpy(node.child, postings, n_docs, pos_map)
         return np.setdiff1d(np.arange(n_docs, dtype=np.int64), s, assume_unique=True)
     raise TypeError(f"not a token-only node: {node!r}")
+
+
+def _collect_phrases(node: A.Node) -> list:
+    if isinstance(node, A.Phrase):
+        return [node]
+    if isinstance(node, (A.And, A.Or)):
+        out = []
+        for c in node.children:
+            out.extend(_collect_phrases(c))
+        return out
+    if isinstance(node, A.Not):
+        return _collect_phrases(node.child)
+    return []
 
 
 def _needs_universe(node: A.Node) -> bool:
@@ -93,13 +187,23 @@ def _eval_token_tree(cat: IndexCatalog, node: A.Node) -> DataFrame:
     """Evaluate a token-only subtree → DataFrame[doc_id]."""
     spark = cat.spark
     terms = sorted(A.collect_terms(node))
-    post = cat.postings(terms).select("seg_id", "field", "term", "doc_ids_bin")
+    scans = A.collect_term_scans(node)
+    want_pos = A.needs_positions(node)
+    phrase_terms = {
+        (n.field_name, t)
+        for n in _collect_phrases(node)
+        for t in n.terms
+    }
+    cols = ["seg_id", "field", "term", "doc_ids_bin"] + (
+        ["tfs_bin", "pos_bin"] if want_pos else []
+    )
+    post = cat.postings(terms, scans=scans).select(*cols)
     meta = cat.seg_meta().select("seg_id", "n_docs", "base_doc_id")
     if _needs_universe(node):
         # NOT/ALL need every segment, even term-free ones
         joined = meta.join(post, "seg_id", "left")
     else:
-        if not terms:
+        if not terms and not scans:
             return _empty_ids(spark)
         joined = post.join(meta, "seg_id", "inner")
     tomb = cat.tombstones()
@@ -111,6 +215,8 @@ def _eval_token_tree(cat: IndexCatalog, node: A.Node) -> DataFrame:
     has_tomb = tomb is not None
 
     def eval_segment(pdf: pd.DataFrame):
+        from yaii_spark.codec import decode_positions, varint_decode
+
         n_docs = int(pdf["n_docs"].iloc[0])
         base = int(pdf["base_doc_id"].iloc[0])
         postings = {
@@ -118,7 +224,17 @@ def _eval_token_tree(cat: IndexCatalog, node: A.Node) -> DataFrame:
             for f, t, b in zip(pdf["field"], pdf["term"], pdf["doc_ids_bin"])
             if t is not None and b is not None
         }
-        ids = _eval_numpy(node, postings, n_docs)
+        pos_map = None
+        if want_pos:
+            pos_map = {}
+            for f, t, ib, tb, pb in zip(
+                pdf["field"], pdf["term"], pdf["doc_ids_bin"], pdf["tfs_bin"], pdf["pos_bin"]
+            ):
+                if t is None or ib is None or (f, t) not in phrase_terms:
+                    continue
+                tfs = varint_decode(tb).astype(np.int64)
+                pos_map[(f, t)] = (postings[(f, t)], decode_positions(pb, tfs))
+        ids = _eval_numpy(node, postings, n_docs, pos_map)
         if has_tomb:
             deleted = pdf["_deleted"].iloc[0]
             if deleted is not None and len(deleted):
@@ -154,6 +270,12 @@ def _eval_hybrid(cat: IndexCatalog, node: A.Node, docs: DataFrame) -> DataFrame:
         cached = getattr(cat, "_filter_cache", {}).get(node.name)
         if cached is None:
             raise KeyError(f"no cached filter named {node.name!r}")
+        # deletes issued after the filter was cached must not resurface:
+        # re-clamp against the current tombstone set at resolve time
+        # (the reference's removeDeletedAndAddedAfter, utils.ts:201-220)
+        tomb = cat.tombstones()
+        if tomb is not None:
+            cached = cached.join(tomb.select("doc_id"), "doc_id", "left_anti")
         return cached
     if A.is_token_only(node):
         if isinstance(node, A.All):

@@ -76,20 +76,44 @@ class IndexCatalog:
     def docs(self) -> DataFrame:
         return self.spark.read.parquet(self.path("docs"))
 
-    def postings(self, field_terms: list[tuple[str, str]] | None = None) -> DataFrame:
+    def postings(
+        self,
+        field_terms: list[tuple[str, str]] | None = None,
+        scans: list | None = None,
+    ) -> DataFrame:
+        """Postings rows, restricted to the query's terms.
+
+        `field_terms` → per-field equality-list predicates; `scans` →
+        TokenRange/TextContains AST leaves compiled to term-range /
+        contains predicates. All push to parquet: files are sorted by
+        (field, term), so row-group min/max stats prune equality AND
+        range lookups (the B-tree-like path); contains() degrades to an
+        in-segment dictionary scan by design."""
         df = self.spark.read.parquet(self.path("postings"))
-        if field_terms is not None:
-            # per-field equality-list predicates push to parquet
-            # row-group stats (files are sorted by field, term)
-            by_field: dict[str, list[str]] = {}
-            for f, t in field_terms:
-                by_field.setdefault(f, []).append(t)
-            cond = None
-            for f, ts in sorted(by_field.items()):
-                c = (F.col("field") == f) & F.col("term").isin(sorted(set(ts)))
-                cond = c if cond is None else (cond | c)
-            df = df.filter(cond if cond is not None else F.lit(False))
-        return df
+        if field_terms is None and not scans:
+            return df
+        cond = None
+        by_field: dict[str, list[str]] = {}
+        for f, t in field_terms or []:
+            by_field.setdefault(f, []).append(t)
+        for f, ts in sorted(by_field.items()):
+            c = (F.col("field") == f) & F.col("term").isin(sorted(set(ts)))
+            cond = c if cond is None else (cond | c)
+        for s in scans or []:
+            c = F.col("field") == s.field_name
+            if hasattr(s, "needle"):  # TextContains
+                c = c & F.col("term").contains(s.needle)
+            else:  # TokenRange
+                if s.lo is not None:
+                    c = c & (
+                        F.col("term") >= s.lo if s.lo_inclusive else F.col("term") > s.lo
+                    )
+                if s.hi is not None:
+                    c = c & (
+                        F.col("term") <= s.hi if s.hi_inclusive else F.col("term") < s.hi
+                    )
+            cond = c if cond is None else (cond | c)
+        return df.filter(cond if cond is not None else F.lit(False))
 
     def seg_meta(self) -> DataFrame:
         return self.spark.read.parquet(self.path("seg_meta"))
