@@ -110,3 +110,45 @@ def test_hot_term_skew_and_partitioning_invariance(spark, work_dir):
     qa = [(r.doc_id, r.score) for r in bm25_topk(ca, ["hotterm"], k=20).collect()]
     qb = [(r.doc_id, r.score) for r in bm25_topk(cb, ["hotterm"], k=20).collect()]
     assert qa == qb
+
+
+def test_term_stats_bucketed_pushdown(spark, work_dir):
+    """Dictionary lookups must prune: bucket partition filter + term
+    row-group filter both visible in the physical scan."""
+    import io
+    from contextlib import redirect_stdout
+
+    from yaii_spark.storage import TERM_STATS_BUCKETS, term_stats_bucket
+
+    idx = f"{work_dir}/ts_idx"
+    build_index(spark, gen_pages(spark, 120, include_fixtures=True), idx, seg_size=60)
+    cat = IndexCatalog(spark, idx)
+    q = cat.term_stats_query([("text", "lorem")])
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        q.explain(mode="formatted")
+    plan = buf.getvalue()
+    b = term_stats_bucket("text", "lorem")
+    assert "PartitionFilters" in plan and f"{b}" in plan
+    assert "PushedFilters" in plan and "lorem" in plan
+    # lookup correct + bucket stable
+    stats = cat.term_stats_for([("text", "lorem")])
+    assert stats[("text", "lorem")][0] > 0
+    assert 0 <= b < TERM_STATS_BUCKETS
+
+
+def test_no_giant_in_list_for_pending_segments(spark, work_dir):
+    """Build plans must not carry In(seg_id, [...]) literal lists —
+    pending-segment selection is a broadcast semi-join (scale: 10^6
+    pending segments would otherwise inline into the plan)."""
+    idx = f"{work_dir}/inlist_idx"
+    pages = gen_pages(spark, 300, include_fixtures=False)
+    build_index(spark, pages, idx, seg_size=10)  # 30 segments
+    # the final write plan is gone post hoc; assert the source invariant:
+    # pending selection is a semi-join, never an isin literal list
+    import inspect
+    import yaii_spark.indexer as ix
+
+    src = inspect.getsource(ix.build_index)
+    assert ".isin([int(s) for s in pending])" not in src
+    assert "left_semi" in src

@@ -73,3 +73,42 @@ def test_merge_preserves_results(spark, work_dir):
         assert ra == rb, terms
         rp = [(r.doc_id, r.score) for r in bm25_topk(b, terms, k=10, prune=True).collect()]
         assert ra == rp, terms
+
+
+def test_merge_many_segments_no_driver_blobs(spark, work_dir):
+    """32→2 merge exercises the cogroup path (per-shard dl replication;
+    nothing corpus-sized on the driver) and stays query-identical."""
+    src = f"{work_dir}/many_src"
+    dst = f"{work_dir}/many_dst"
+    pages = gen_pages(spark, 640, include_fixtures=True)
+    build_index(spark, pages, src, seg_size=20)  # 32 segments
+    m = merge_segments(spark, src, dst, factor=16)
+    assert m["segments_before"] == 32 and m["segments_after"] == 2
+    a, b = IndexCatalog(spark, src), IndexCatalog(spark, dst)
+    for q in [A.token("lorem"), A.not_(A.token("the")), A.phrase(["lorem", "ipsum"])]:
+        assert ids(execute_boolean(a, q)) == ids(execute_boolean(b, q)), q
+    ra = [(r.doc_id, r.score) for r in bm25_topk(a, ["the", "a"], k=10).collect()]
+    rb = [(r.doc_id, r.score) for r in bm25_topk(b, ["the", "a"], k=10).collect()]
+    rp = [(r.doc_id, r.score) for r in bm25_topk(b, ["the", "a"], k=10, prune=True).collect()]
+    assert ra == rb == rp
+
+
+def test_rebuild_resume_false_removes_stale(spark, work_dir):
+    """resume=False over an existing dir must not leak stale segments
+    into postings or term_stats (stale partitions survive dynamic
+    overwrite; term_stats is recomputed from ALL on-disk postings)."""
+    from tests.test_index_build import _postings_snapshot
+
+    idx = f"{work_dir}/rebuild_idx"
+    build_index(spark, gen_pages(spark, 200, include_fixtures=False), idx,
+                seg_size=50, resume=False)  # 4 segments
+    build_index(spark, gen_pages(spark, 60, include_fixtures=False), idx,
+                seg_size=50, resume=False)  # 2 segments — must fully replace
+    clean = f"{work_dir}/rebuild_clean"
+    build_index(spark, gen_pages(spark, 60, include_fixtures=False), clean, seg_size=50)
+
+    cat, ref = IndexCatalog(spark, idx), IndexCatalog(spark, clean)
+    assert cat.corpus_stats().n_docs == 60
+    assert {r.seg_id for r in cat.seg_meta().collect()} == {0, 1}
+    assert _postings_snapshot(spark, idx) == _postings_snapshot(spark, clean)
+    assert cat.term_stats_for([("text", "the")]) == ref.term_stats_for([("text", "the")])

@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import math
 import os
+import shutil
 import time
 
 import numpy as np
@@ -179,6 +180,14 @@ def build_index(
     (FIXTURES.md §6).
     """
     t0 = time.time()
+    # a non-resuming build over an existing index dir must not inherit
+    # stale partitions: dynamic overwrite only replaces seg_ids present
+    # in the NEW input, and term_stats is then recomputed from ALL
+    # on-disk postings (old ∪ new) — silent stats corruption. Drop the
+    # directory first (on a cluster FS this is the same recursive
+    # delete an Iceberg REPLACE TABLE performs).
+    if not resume and os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
     # dynamic partition overwrite (stage+move per partition dir) only
     # pays off when overwriting a partially-built index; fresh builds
     # use the cheap static path
@@ -254,7 +263,12 @@ def build_index(
     }
 
     if pending:
-        batch = docs.filter(F.col("seg_id").isin([int(s) for s in pending]))
+        # broadcast semi-join, not isin([...]): an In-list over 10^6
+        # pending seg_ids would bloat the plan and evaluate O(n) per row
+        pend_df = spark.createDataFrame(
+            [(int(s),) for s in pending], "seg_id long"
+        )
+        batch = docs.join(F.broadcast(pend_df), "seg_id", "left_semi")
 
         # ---- docs table (stored fields + dl) ----
         keep = [id_col, "seg_id", "local_id", "dl"] + [
@@ -350,22 +364,24 @@ def build_index(
 
         # ---- checkpoints / lineage (after postings are durable) ----
         # one cached read of the durable postings feeds both the
-        # per-segment lineage counts and the corpus-wide term stats
+        # per-segment lineage counts and the corpus-wide term stats;
+        # lineage rows are written distributed (no per-segment collect —
+        # at 10^6 segments the driver never materializes the counts)
         post_all = spark.read.parquet(os.path.join(out_dir, "postings")).cache()
-        seg_counts = {
-            r.seg_id: (r.nd, r.np)
-            for r in post_all.filter(F.col("seg_id").isin([int(s) for s in pending]))
-            .groupBy("seg_id")
-            .agg(F.sum("df_local").alias("nd"), F.count("*").alias("np"))
-            .collect()
-        }
         wall = time.time() - t0
-        ck = spark.createDataFrame(
-            [
-                (int(s), int(seg_counts.get(s, (0, 0))[0]), int(seg_counts.get(s, (0, 0))[1]), float(wall), "done")
-                for s in pending
-            ],
-            "seg_id long, n_postings_docs long, n_terms long, wall_sec double, status string",
+        seg_counts = (
+            post_all.join(F.broadcast(pend_df), "seg_id", "left_semi")
+            .groupBy("seg_id")
+            .agg(F.sum("df_local").alias("n_postings_docs"), F.count("*").alias("n_terms"))
+        )
+        ck = (
+            pend_df.join(seg_counts, "seg_id", "left")
+            .na.fill(0, ["n_postings_docs", "n_terms"])
+            .select(
+                "seg_id", "n_postings_docs", "n_terms",
+                F.lit(float(wall)).alias("wall_sec"),
+                F.lit("done").alias("status"),
+            )
         )
         mode = "append" if (resume and os.path.exists(ckpt_path)) else "overwrite"
         ck.write.mode(mode).parquet(ckpt_path)
@@ -373,20 +389,34 @@ def build_index(
         post_all = spark.read.parquet(os.path.join(out_dir, "postings"))
 
     # ---- corpus-wide term stats (recomputed from durable postings —
-    # correct under resume because postings are the source of truth) ----
+    # correct under resume because postings are the source of truth).
+    # Hash-bucketed by (field, term): a web-scale dictionary is 10^8-10^9
+    # rows — a single sorted file would be one straggler task and an
+    # unprunable lookup. 256 bucket dirs + in-bucket term sort give
+    # partition-pruned, row-group-pruned point lookups (storage.
+    # term_stats_for computes the same md5 bucket driver-side). ----
+    from yaii_spark.storage import TERM_STATS_BUCKETS, term_stats_bucket_col
+
     (
         post_all.groupBy("field", "term")
         .agg(F.sum("df_local").alias("df"), F.sum("cf_local").alias("cf"))
-        .repartition(1)
-        .sortWithinPartitions("field", "term")
+        .withColumn("bucket", term_stats_bucket_col())
+        # task count follows spark.sql.shuffle.partitions (several
+        # buckets per task is fine — pruning is by directory); leading
+        # the in-task sort with `bucket` satisfies the partitioned
+        # writer's required ordering, so no writer-side re-sort destroys
+        # the (field, term) row-group order
+        .repartition("bucket")
+        .sortWithinPartitions("bucket", "field", "term")
         .write.mode("overwrite")
+        .partitionBy("bucket")
         .parquet(os.path.join(out_dir, "term_stats"))
     )
     if pending:
         post_all.unpersist()
     spark.createDataFrame(
-        [(n_total, avgdl, float(k1), float(b), int(seg_size))],
-        "n_docs long, avgdl double, k1 double, b double, seg_size long",
+        [(n_total, avgdl, float(k1), float(b), int(seg_size), BLOCK_SIZE)],
+        "n_docs long, avgdl double, k1 double, b double, seg_size long, block_size long",
     ).write.mode("overwrite").parquet(os.path.join(out_dir, "corpus_stats"))
 
     docs.unpersist()
@@ -410,22 +440,31 @@ def delete_docs(spark: SparkSession, index_dir: str, doc_ids: list[int]) -> int:
     return len(rows)
 
 
+MERGE_SHARDS = 16  # term-hash shards per merged segment (task sizing)
+
+
 def merge_segments(
     spark: SparkSession, index_dir: str, out_dir: str, factor: int
 ) -> dict:
     """Compact `factor` adjacent segments into one (the reference's
     planned-but-stubbed merge, base-inverted-index.ts:536-548).
 
-    Distributed: group postings rows by (new_seg, field, term) and
-    concatenate the decoded runs in old-seg order — docIDs of adjacent
-    segments are disjoint ascending ranges, so concatenation preserves
-    sort order and no renumbering happens (the payoff of the
-    seg_id*seg_size+local docID design). Doc-length blobs merge by
-    offset placement; block maxes are recomputed. One shuffle keyed by
-    (new_seg, field, term): group size stays ≤ factor rows.
+    Fully distributed — nothing corpus-sized ever touches the driver:
+
+    1. seg_meta merges per new_seg (dl blobs placed at their offsets).
+    2. postings group by (new_seg, term-hash shard) and COGROUP with the
+       merged seg_meta (replicated per shard, ≤ MERGE_SHARDS copies of
+       each dl blob on the wire — never a driver collect/broadcast of
+       all blobs, which at 10^12 docs would be TB of driver memory).
+       Within a task, each (field, term)'s runs concatenate in old-seg
+       order — docIDs of adjacent segments are disjoint ascending
+       ranges, so concatenation preserves sort order and no renumbering
+       happens (the payoff of the seg_id*seg_size+local docID design);
+       block maxes are recomputed against the merged dl array.
     """
-    stats = spark.read.parquet(os.path.join(index_dir, "corpus_stats")).collect()[0]
-    seg_size, avgdl, k1, b = int(stats.seg_size), float(stats.avgdl), float(stats.k1), float(stats.b)
+    srow = spark.read.parquet(os.path.join(index_dir, "corpus_stats")).collect()[0]
+    seg_size, avgdl, k1, b = int(srow.seg_size), float(srow.avgdl), float(srow.k1), float(srow.b)
+    block_size = int(srow.asDict().get("block_size") or 128)
     new_size = seg_size * factor
 
     meta = spark.read.parquet(os.path.join(index_dir, "seg_meta"))
@@ -461,27 +500,8 @@ def merge_segments(
     new_meta.write.mode("overwrite").partitionBy("seg_id").parquet(
         os.path.join(out_dir, "seg_meta")
     )
-    meta_small = {
-        r.seg_id: (r.n_docs, r.base_doc_id)
-        for r in spark.read.parquet(os.path.join(out_dir, "seg_meta"))
-        .select("seg_id", "n_docs", "base_doc_id")
-        .collect()
-    }
-    bmeta = spark.sparkContext.broadcast(meta_small)
 
-    # ship merged dl blobs to executors once; decode lazily per task
-    dl_blobs = {
-        r.seg_id: r.dl_bin
-        for r in spark.read.parquet(os.path.join(out_dir, "seg_meta"))
-        .select("seg_id", "dl_bin")
-        .collect()
-    }
-    bdl = spark.sparkContext.broadcast(dl_blobs)
-
-    _dl_cache: dict = {}
-
-    def merge_post(pdf: pd.DataFrame) -> pd.DataFrame:
-        _cache = _dl_cache
+    def merge_shard(post_pdf: pd.DataFrame, meta_pdf: pd.DataFrame) -> pd.DataFrame:
         from yaii_spark.codec import (
             decode_positions,
             delta_decode,
@@ -490,45 +510,67 @@ def merge_segments(
             varint_decode,
         )
 
-        pdf = pdf.sort_values("seg_id")
-        new_seg = int(pdf["seg_id"].iloc[0]) // factor
+        if post_pdf.empty:
+            return pd.DataFrame(
+                {c: [] for c in [
+                    "seg_id", "field", "term", "df_local", "cf_local",
+                    "doc_ids_bin", "tfs_bin", "pos_bin", "block_maxes", "max_norm",
+                ]}
+            )
+        new_seg = int(post_pdf["new_seg"].iloc[0])
         base = new_seg * new_size
-        ids = np.concatenate([delta_decode(x) for x in pdf["doc_ids_bin"]])
-        tfs = np.concatenate([varint_decode(x) for x in pdf["tfs_bin"]])
-        pos_lists = []
-        for pb, tb in zip(pdf["pos_bin"], pdf["tfs_bin"]):
-            pos_lists.extend(decode_positions(pb, varint_decode(tb).astype(np.int64)))
-        if new_seg not in _cache:
-            _cache[new_seg] = varint_decode(bdl.value[new_seg]).astype(np.float64)
-        dls = _cache[new_seg]
-        local = (ids - base).astype(np.int64)
-        norms = _tf_norm(tfs, dls[local], avgdl, k1, b)
-        nblocks = math.ceil(ids.size / BLOCK_SIZE)
-        bmax = [float(norms[i * BLOCK_SIZE : (i + 1) * BLOCK_SIZE].max()) for i in range(nblocks)]
-        return pd.DataFrame(
-            {
-                "seg_id": [new_seg],
-                "field": [pdf["field"].iloc[0]],
-                "term": [pdf["term"].iloc[0]],
-                "df_local": [int(pdf["df_local"].sum())],
-                "cf_local": [int(pdf["cf_local"].sum())],
-                "doc_ids_bin": [delta_encode(ids)],
-                "tfs_bin": [varint_encode(tfs)],
-                "pos_bin": [encode_positions([p.tolist() for p in pos_lists])],
-                "block_maxes": [bmax],
-                "max_norm": [float(norms.max()) if norms.size else 0.0],
-            }
-        )
+        dls = varint_decode(meta_pdf["dl_bin"].iloc[0]).astype(np.float64)
+        post_pdf = post_pdf.sort_values(["field", "term", "seg_id"], kind="mergesort")
+        out = {
+            "seg_id": [], "field": [], "term": [], "df_local": [], "cf_local": [],
+            "doc_ids_bin": [], "tfs_bin": [], "pos_bin": [],
+            "block_maxes": [], "max_norm": [],
+        }
+        for (field, term), g in post_pdf.groupby(["field", "term"], sort=False):
+            ids = np.concatenate([delta_decode(x) for x in g["doc_ids_bin"]])
+            tfs = np.concatenate([varint_decode(x) for x in g["tfs_bin"]])
+            pos_lists = []
+            for pb, tb in zip(g["pos_bin"], g["tfs_bin"]):
+                pos_lists.extend(decode_positions(pb, varint_decode(tb).astype(np.int64)))
+            local = (ids - base).astype(np.int64)
+            norms = _tf_norm(tfs, dls[local], avgdl, k1, b)
+            nblocks = math.ceil(ids.size / block_size)
+            bmax = [
+                float(norms[i * block_size : (i + 1) * block_size].max())
+                for i in range(nblocks)
+            ]
+            out["seg_id"].append(new_seg)
+            out["field"].append(field)
+            out["term"].append(term)
+            out["df_local"].append(int(g["df_local"].sum()))
+            out["cf_local"].append(int(g["cf_local"].sum()))
+            out["doc_ids_bin"].append(delta_encode(ids))
+            out["tfs_bin"].append(varint_encode(tfs))
+            out["pos_bin"].append(encode_positions([p.tolist() for p in pos_lists]))
+            out["block_maxes"].append(bmax)
+            out["max_norm"].append(float(norms.max()) if norms.size else 0.0)
+        return pd.DataFrame(out)
 
     out_schema = (
         "seg_id long, field string, term string, df_local long, cf_local long, "
         "doc_ids_bin binary, tfs_bin binary, pos_bin binary, "
         "block_maxes array<double>, max_norm double"
     )
-    (
+    shard = F.pmod(F.xxhash64("field", "term"), F.lit(MERGE_SHARDS))
+    posts = (
         post.withColumn("new_seg", (F.col("seg_id") / factor).cast("long"))
-        .groupBy("new_seg", "field", "term")
-        .applyInPandas(merge_post, schema=out_schema)
+        .withColumn("shard", shard)
+    )
+    # replicate each merged dl blob to every shard of its segment
+    meta_sharded = (
+        spark.read.parquet(os.path.join(out_dir, "seg_meta"))
+        .select(F.col("seg_id").alias("new_seg"), "dl_bin")
+        .crossJoin(spark.range(MERGE_SHARDS).select(F.col("id").alias("shard")))
+    )
+    (
+        posts.groupBy("new_seg", "shard")
+        .cogroup(meta_sharded.groupBy("new_seg", "shard"))
+        .applyInPandas(merge_shard, schema=out_schema)
         .repartition("seg_id")
         .sortWithinPartitions("field", "term")
         .write.mode("overwrite")
@@ -545,12 +587,18 @@ def merge_segments(
         .partitionBy("seg_id")
         .parquet(os.path.join(out_dir, "docs"))
     )
-    spark.read.parquet(os.path.join(index_dir, "term_stats")).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(out_dir, "term_stats"))
+    # corpus-wide term stats are merge-invariant; carry the bucket layout
+    # (explicit bucket-led sort keeps the writer from re-sorting rows)
+    (
+        spark.read.parquet(os.path.join(index_dir, "term_stats"))
+        .sortWithinPartitions("bucket", "field", "term")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(os.path.join(out_dir, "term_stats"))
+    )
     spark.createDataFrame(
-        [(int(stats.n_docs), avgdl, k1, b, new_size)],
-        "n_docs long, avgdl double, k1 double, b double, seg_size long",
+        [(int(srow.n_docs), avgdl, k1, b, new_size, block_size)],
+        "n_docs long, avgdl double, k1 double, b double, seg_size long, block_size long",
     ).write.mode("overwrite").parquet(os.path.join(out_dir, "corpus_stats"))
     post_new = spark.read.parquet(os.path.join(out_dir, "postings"))
     ck = post_new.groupBy("seg_id").agg(
@@ -568,4 +616,5 @@ def merge_segments(
             .write.mode("overwrite")
             .parquet(os.path.join(out_dir, "tombstones"))
         )
-    return {"segments_before": len(dl_blobs) * factor, "segments_after": len(dl_blobs)}
+    n_after = spark.read.parquet(os.path.join(out_dir, "seg_meta")).count()
+    return {"segments_before": meta.select("seg_id").distinct().count(), "segments_after": n_after}

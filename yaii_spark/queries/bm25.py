@@ -51,6 +51,7 @@ def _score_segment_pruned(
     b: float,
     avgdl: float,
     k: int,
+    block: int,
     deleted: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """MaxScore + block-max pruned top-k (mode='or', rank-safe).
@@ -87,13 +88,12 @@ def _score_segment_pruned(
     touched: list[np.ndarray] = []
     theta = -np.inf
     n_seen = 0
-    BLOCK = 128
     for i, t in enumerate(order):
         ids, tfs, bmax = term_rows[t]
         alive = ~dead[ids]
         if theta > 0.0 and i > 0:
             # per-posting block-max bound for THIS term + global ubs of the rest
-            post_ub = idfs[t] * bmax[np.arange(ids.size) // BLOCK]
+            post_ub = idfs[t] * bmax[np.arange(ids.size) // block]
             potential = scores[ids] + post_ub + suffix[i + 1]
             kill = alive & (potential < theta)
             dead[ids[kill]] = True
@@ -220,6 +220,9 @@ def bm25_topk(
         joined = joined.join(F.broadcast(tomb_arr), "seg_id", "left")
     has_tomb = tomb is not None
     k1, b, avgdl = stats.k1, stats.b, stats.avgdl
+    # block size travels with the index (corpus_stats.block_size): the
+    # bound is only rank-safe when it matches what the writer used
+    block = stats.block_size
     use_prune = prune and mode == "or"
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -229,7 +232,7 @@ def bm25_topk(
             if d is not None and len(d):
                 deleted = np.asarray(d, dtype=np.int64)
         if use_prune:
-            return _score_segment_pruned(pdf, idfs, k1, b, avgdl, k, deleted)
+            return _score_segment_pruned(pdf, idfs, k1, b, avgdl, k, block, deleted)
         return _score_segment(pdf, idfs, k1, b, avgdl, k, mode, deleted)
 
     per_seg = joined.groupBy("seg_id").applyInPandas(fn, schema="doc_id long, score double")

@@ -32,7 +32,31 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 # bump when the on-disk layout changes (cache invalidation)
-FORMAT_VERSION = 2
+FORMAT_VERSION = 3
+
+# term_stats is hash-partitioned into this many bucket dirs so the
+# corpus dictionary (10^8-10^9 terms at web scale) is written by many
+# tasks and read with partition pruning — never one giant sorted file
+TERM_STATS_BUCKETS = 256
+
+
+def term_stats_bucket_col() -> "F.Column":
+    """Spark-side bucket id for a (field, term) row. md5-derived (not
+    xxhash64) so the driver can compute the identical bucket in pure
+    Python without launching a job (see term_stats_bucket)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("\x00", F.col("field"), F.col("term"))), 1, 8),
+        16, 10,
+    ).cast("long")
+    return F.pmod(h, F.lit(TERM_STATS_BUCKETS)).cast("int")
+
+
+def term_stats_bucket(field: str, term: str) -> int:
+    """Python mirror of term_stats_bucket_col (same md5 prefix)."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{field}\x00{term}".encode("utf-8")).hexdigest()[:8], 16)
+    return h % TERM_STATS_BUCKETS
 
 
 def iceberg_format(spark: SparkSession) -> str | None:
@@ -52,6 +76,7 @@ class CorpusStats:
     k1: float
     b: float
     seg_size: int
+    block_size: int = 128
 
 
 class IndexCatalog:
@@ -69,8 +94,13 @@ class IndexCatalog:
 
     def corpus_stats(self) -> CorpusStats:
         row = self.spark.read.parquet(self.path("corpus_stats")).collect()[0]
+        d = row.asDict()
         return CorpusStats(
-            n_docs=row.n_docs, avgdl=row.avgdl, k1=row.k1, b=row.b, seg_size=row.seg_size
+            n_docs=row.n_docs, avgdl=row.avgdl, k1=row.k1, b=row.b,
+            seg_size=row.seg_size,
+            # pre-v3 indexes predate the persisted block size; they were
+            # all written with the 128 default
+            block_size=int(d.get("block_size") or 128),
         )
 
     def docs(self) -> DataFrame:
@@ -149,12 +179,21 @@ class IndexCatalog:
         """Driver-side (df, cf) lookup for a query's (field, term)
         pairs — the `mayMatch` plan-time pruning analogue (SURVEY.md
         §2.2 P10): absent terms never reach an executor."""
-        terms = sorted({t for _, t in field_terms})
-        fields = sorted({f for f, _ in field_terms})
-        rows = (
-            self.term_stats()
-            .filter(F.col("term").isin(terms) & F.col("field").isin(fields))
-            .collect()
-        )
+        if not field_terms:
+            return {}
+        rows = self.term_stats_query(field_terms).collect()
         want = set(field_terms)
         return {(r.field, r.term): (r.df, r.cf) for r in rows if (r.field, r.term) in want}
+
+    def term_stats_query(self, field_terms: list[tuple[str, str]]) -> DataFrame:
+        """The pruned dictionary lookup as a DataFrame (plan-testable):
+        bucket list → partition-dir pruning, term list → row-group
+        min/max pruning inside the bucket's term-sorted files."""
+        terms = sorted({t for _, t in field_terms})
+        fields = sorted({f for f, _ in field_terms})
+        buckets = sorted({term_stats_bucket(f, t) for f, t in field_terms})
+        return self.term_stats().filter(
+            F.col("bucket").isin(buckets)
+            & F.col("term").isin(terms)
+            & F.col("field").isin(fields)
+        )
