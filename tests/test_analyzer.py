@@ -73,9 +73,14 @@ def test_spark_udf_parity(spark):
 def test_tokenize_invariants(s):
     toks = tokenize(s)
     assert isinstance(toks, list) and len(toks) >= 1
+    from yaii_spark.analyzer import _JS_WS
+
     for t in toks:
         assert t == t.lower()
-        assert not re.search(r"[\s\-,;:.]", t)
+        # separators never survive inside a token — the ECMAScript
+        # whitespace class, not Python \s (\x1c-\x1f/\x85 are valid
+        # token bytes in JS; \ufeff is a separator)
+        assert not re.search(f"[{_JS_WS}\\-,;:.]", t)
     assert all(t not in STOPWORDS for t in remove_stopwords(toks))
 
 
@@ -94,3 +99,37 @@ def test_rule_tokenizer(spark):
     df = spark.createDataFrame([(text,)], "text string")
     rows = df.select(udf("text").alias("t")).collect()
     assert rows[0].t == fn(text)
+
+
+def test_js_whitespace_parity_edges():
+    """ECMAScript \\s vs Python \\s divergences (ADVICE round 1):
+    U+001C-001F and U+0085 are NOT whitespace in JS (token survives),
+    U+FEFF IS (splits + trims)."""
+    from yaii_spark.analyzer import tokenize
+
+    for ch in ["\x1c", "\x1d", "\x1e", "\x1f", "\x85"]:
+        assert tokenize(f"a{ch}b") == [f"a{ch}b"], hex(ord(ch))
+        # trim must not strip them either
+        assert tokenize(f"{ch}ab{ch}") == [f"{ch}ab{ch}"]
+    assert tokenize("a﻿b") == ["a", "b"]
+    assert tokenize("﻿ab﻿") == ["ab"]
+    # the rest of the JS set still splits
+    for ch in [" ", " ", " ", "　", "\t"]:
+        assert tokenize(f"a{ch}b") == ["a", "b"], hex(ord(ch))
+
+
+def test_rule_tokenizer_user_capturing_group():
+    """Rule dispatch must survive user patterns with their own
+    capturing groups (m.lastgroup would be None/wrong)."""
+    from yaii_spark.analyzer import make_rule_tokenizer
+
+    fn, _ = make_rule_tokenizer([
+        ("pair", r"(aa|bb)X?", False),       # inner capturing group
+        ("word", r"[A-Za-z]+", True),
+    ])
+    assert fn("aaX BB cc") == ["aaX", "bb", "cc"]
+    fn2, _ = make_rule_tokenizer([
+        ("num", r"([0-9]+)(\.[0-9]+)?", False),
+        ("word", r"[A-Za-z]+", True),
+    ])
+    assert fn2("Pi 3.14 X") == ["pi", "3.14", "x"]

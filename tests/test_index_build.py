@@ -152,3 +152,79 @@ def test_no_giant_in_list_for_pending_segments(spark, work_dir):
     src = inspect.getsource(ix.build_index)
     assert ".isin([int(s) for s in pending])" not in src
     assert "left_semi" in src
+
+
+def test_custom_rule_field_indexes_and_queries(spark, work_dir):
+    """X1/F4: a make_rule_tokenizer analyzer wired into build_index via
+    the fields map — the slow (explode+groupBy) path unions with the
+    default fields' fast path, and the field is queryable."""
+    import datetime as dt
+
+    from yaii_spark.analyzer import make_rule_tokenizer
+    from yaii_spark.queries import ast as A
+    from yaii_spark.queries.executor import execute_boolean
+    from yaii_spark.synth import EPOCH, PAGES_SCHEMA, render_html
+
+    _, ref_udf = make_rule_tokenizer([
+        ("ref", r"[@%&][A-Za-z0-9+/=]+\.[a-z0-9]+", False),
+        ("word", r"[^\s\-,;:.]+", True),
+    ])
+    texts = {
+        0: "Order @AB12.pdf shipped",
+        1: "see &Zz99.txt and @AB12.pdf",
+        2: "plain words only",
+    }
+    rows = [
+        (i, f"https://x/{i}", EPOCH + dt.timedelta(seconds=i),
+         render_html(t), t, "en", i)
+        for i, t in texts.items()
+    ]
+    pages = spark.createDataFrame(rows, PAGES_SCHEMA)
+    idx = f"{work_dir}/rule_idx"
+    build_index(
+        spark, pages, idx, seg_size=2,
+        fields={
+            "text": ("text", "standard"),
+            "_all": ("text", "all"),
+            "refs": ("text", ref_udf),
+        },
+    )
+    cat = IndexCatalog(spark, idx)
+    # crypto refs kept whole + case-preserved in the rule field
+    got = {r.doc_id for r in execute_boolean(cat, A.token("@AB12.pdf", "refs")).collect()}
+    assert got == {0, 1}
+    # words lowercased in the rule field
+    got = {r.doc_id for r in execute_boolean(cat, A.token("order", "refs")).collect()}
+    assert got == {0}
+    # default fields unaffected: standard splits '@ab12' at '.'
+    got = {r.doc_id for r in execute_boolean(cat, A.token("@ab12", "text")).collect()}
+    assert got == {0, 1}
+
+
+def test_icu_collated_sort_divergent_inputs(spark, work_dir):
+    """F7: the reference sorts with Intl.Collator(sensitivity:'base')
+    (utils.ts:41-46). UNICODE_CI_AI must produce that order on inputs
+    where binary order disagrees."""
+    import datetime as dt
+
+    from yaii_spark.queries import ast as A
+    from yaii_spark.queries.executor import REFERENCE_COLLATION, search
+    from yaii_spark.synth import EPOCH, PAGES_SCHEMA, render_html
+
+    langs = {0: "zebra", 1: "Apple", 2: "apple", 3: "Ärger", 4: "Banana"}
+    rows = [
+        (i, f"https://x/{i}", EPOCH + dt.timedelta(seconds=i),
+         render_html("doc"), "doc", lang, i)
+        for i, lang in langs.items()
+    ]
+    pages = spark.createDataFrame(rows, PAGES_SCHEMA)
+    idx = f"{work_dir}/coll_idx"
+    build_index(spark, pages, idx, seg_size=10, stored_cols=["lang"])
+    cat = IndexCatalog(spark, idx)
+
+    got = [r.lang for r in search(cat, A.all_docs(), sort=[("lang", "asc")],
+                                  collation=REFERENCE_COLLATION).collect()]
+    # base sensitivity: Apple==apple (doc_id tiebreak), Ä sorts with A
+    assert got == ["Apple", "apple", "Ärger", "Banana", "zebra"]
+    binary = [r.lang for r in search(cat, A.all_docs(), sort=[("lang", "asc")]).collect()]
+    assert binary == ["Apple", "Banana", "apple", "zebra", "Ärger"]

@@ -34,8 +34,20 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# exact separator class from the reference tokenizer
-TOKEN_SEPARATOR = re.compile(r"[\s\-,;:.]+")
+# The ECMAScript whitespace set (WhiteSpace ∪ LineTerminator,
+# ES2023 §12.2-12.3) — what JS /\s/ and String.prototype.trim use.
+# Python's unicode \s and str.strip() differ on real web text: they
+# add U+001C-001F (file/group/record/unit separators) and U+0085
+# (NEL), and miss U+FEFF (BOM/ZWNBSP). Byte-identical token streams
+# need the explicit class.
+_JS_WS = (
+    "\t\n\x0b\x0c\r \u00a0\u1680"
+    "\u2000\u2001\u2002\u2003\u2004\u2005\u2006\u2007\u2008\u2009\u200a"
+    "\u2028\u2029\u202f\u205f\u3000\ufeff"
+)
+
+# exact separator class from the reference tokenizer: JS \s + -,;:.
+TOKEN_SEPARATOR = re.compile(f"[{_JS_WS}\\-,;:.]+")
 
 # exact stoplist (119 words) + '' from the reference stopword filter
 STOPWORDS = frozenset(
@@ -55,9 +67,10 @@ def tokenize(text: str) -> List[str]:
 
     Matches JS semantics: ``''.split(re)`` in JS returns ``['']`` and so
     does Python ``re.split`` on an empty string — both yield one empty
-    token for empty/whitespace-only input.
+    token for empty/whitespace-only input. Trim strips exactly the
+    ECMAScript whitespace set (_JS_WS), not Python's.
     """
-    return TOKEN_SEPARATOR.split(text.strip().lower())
+    return TOKEN_SEPARATOR.split(text.strip(_JS_WS).lower())
 
 
 def remove_stopwords(tokens: Iterable[str]) -> List[str]:
@@ -157,8 +170,9 @@ doc_stats_udf = F.pandas_udf(_doc_stats_series, DOC_STATS_TYPE)
 def make_rule_tokenizer(rules: list[tuple[str, str, bool]]):
     """Lexer-style rule tokenizer — re-expression of yaii's mooTokenizer
     (/root/reference/src/lib/analyzer/moo-tokenizer.ts:6-22): ordered
-    (name, pattern, keep) rules matched with first-rule-wins priority at
-    each position; kept tokens are lowercased unless the rule opts out.
+    (name, pattern, lowercase) rules matched with first-rule-wins
+    priority at each position; every matched token is kept, and
+    lowercased iff its rule's `lowercase` flag is set.
 
     The reference's SSB config keeps @/%/&…=.xxx crypto refs whole and
     lowercases words (test/performance/performance-ssb.ts:109-115); the
@@ -169,18 +183,26 @@ def make_rule_tokenizer(rules: list[tuple[str, str, bool]]):
             ("word", r"[^\\s\\-,;:.]+", True),
         ])
 
+    Patterns may contain their own capturing groups; backreferences
+    are not supported (group numbers shift inside the combined
+    alternation).
+
     Returns (pure_fn, pandas_udf) sharing one implementation.
     """
     compiled = re.compile(
-        "|".join(f"(?P<r{i}>{pat})" for i, (_, pat, _) in enumerate(rules))
+        "|".join(f"(?P<r{i}>(?:{pat}))" for i, (_, pat, _) in enumerate(rules))
     )
     lower_flags = [lower for _, _, lower in rules]
+    # rule dispatch must survive user patterns that contain their own
+    # capturing groups (m.lastgroup would then be None or an inner
+    # name): check our named wrapper groups directly, first match wins
+    rule_names = [f"r{i}" for i in range(len(rules))]
 
     def fn(text: str) -> List[str]:
         out = []
         for m in compiled.finditer(text):
             tok = m.group(0)
-            idx = int(m.lastgroup[1:])
+            idx = next(i for i, g in enumerate(rule_names) if m.group(g) is not None)
             out.append(tok.lower() if lower_flags[idx] else tok)
         return out
 

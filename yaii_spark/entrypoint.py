@@ -45,12 +45,33 @@ from yaii_spark.storage import FORMAT_VERSION, IndexCatalog
 
 _CACHE_ROOT = os.path.join(tempfile.gettempdir(), "yaii_spark_index_cache")
 
+# the reference's SSB mooTokenizer rules (performance-ssb.ts:109-115):
+# crypto refs kept whole and case-preserved, words lowercased
+RULE_FIELD_RULES = [
+    ("ref", r"[@%&][A-Za-z0-9+/=]+\.[a-z0-9]+", False),
+    ("word", r"[^\s\-,;:.]+", True),
+]
 
-def get_index(spark: SparkSession, sf_dir: str, seg_size: int = 1024) -> IndexCatalog:
-    tag = hashlib.md5(f"{sf_dir}|{seg_size}|v{FORMAT_VERSION}".encode()).hexdigest()[:12]
+
+def get_index(
+    spark: SparkSession, sf_dir: str, seg_size: int = 1024, variant: str = "default"
+) -> IndexCatalog:
+    tag = hashlib.md5(
+        f"{sf_dir}|{seg_size}|{variant}|v{FORMAT_VERSION}".encode()
+    ).hexdigest()[:12]
     out = os.path.join(_CACHE_ROOT, tag)
     cat = IndexCatalog(spark, out)
     if not cat.exists():
+        fields = None
+        if variant == "rule":
+            from yaii_spark.analyzer import make_rule_tokenizer
+
+            _, ref_udf = make_rule_tokenizer(RULE_FIELD_RULES)
+            fields = {
+                "text": ("text", "standard"),
+                "_all": ("text", "all"),
+                "refs": ("text", ref_udf),
+            }
         docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
         build_index(
             spark,
@@ -58,6 +79,7 @@ def get_index(spark: SparkSession, sf_dir: str, seg_size: int = 1024) -> IndexCa
             out,
             seg_size=seg_size,
             stored_cols=["text", "lang", "source", "n_chars"],
+            fields=fields,
         )
     return cat
 
@@ -161,6 +183,16 @@ def q_count_filtered(spark, sf_dir):
 
 def q_first(spark, sf_dir):
     return agg_first(get_index(spark, sf_dir), "n_chars")
+
+
+def q_first_multi(spark, sf_dir):
+    return agg_first(get_index(spark, sf_dir), [("lang", "asc"), ("n_chars", "desc")])
+
+
+def q_rule_field(spark, sf_dir):
+    """Rule-tokenized field (mooTokenizer wired into the build, F4/X1)."""
+    cat = get_index(spark, sf_dir, variant="rule")
+    return execute_boolean(cat, A.token("value", "refs"))
 
 
 def q_last(spark, sf_dir):
@@ -313,6 +345,8 @@ def queries():
         # dictionary-scan predicates (P8: TOKEN_RANGE / TEXT_CONTAINS)
         "q_token_range": _bool_q(lambda: A.token_range("text", "ba", "bz")),
         "q_text_contains": _bool_q(lambda: A.text_contains("ort")),
+        # custom analyzer field (F4 mooTokenizer / X1 extension point)
+        "q_rule_field": q_rule_field,
         # attribute predicates (P3-P5)
         "q_number_eq": _bool_q(lambda: A.number("n_chars", 157)),
         "q_number_range": _bool_q(lambda: A.number_range("n_chars", 100, 200)),
@@ -329,6 +363,7 @@ def queries():
         # aggregations (A1-A5)
         "q_count_filtered": q_count_filtered,
         "q_first": q_first,
+        "q_first_multi": q_first_multi,
         "q_last": q_last,
         "q_group_by_lang": q_group_by_lang,
         "q_buckets": q_buckets,
@@ -408,6 +443,18 @@ def oracle_sql():
         "q_bm25_and": _bm25_sql(["batch", "small"], 10, "and"),
         "q_count_filtered": f"WITH {_TOK_CTE} SELECT count(*) AS n_docs FROM tok WHERE {_contains_sql('dup')}",
         "q_first": "SELECT doc_id, n_chars FROM documents ORDER BY n_chars ASC, doc_id ASC LIMIT 1",
+        "q_first_multi": "SELECT doc_id, lang, n_chars FROM documents "
+        "ORDER BY lang ASC, n_chars DESC, doc_id ASC LIMIT 1",
+        # rule field: the engine lowercases word-rule tokens and keeps
+        # @%& refs case-preserved; this corpus has no refs, so lowering
+        # every extracted token restates the same semantics
+        "q_rule_field": r"""
+SELECT doc_id FROM documents
+WHERE list_contains(
+  list_transform(
+    regexp_extract_all(text, '[@%&][A-Za-z0-9+/=]+\.[a-z0-9]+|[^\s\-,;:.]+'),
+    t -> lower(t)),
+  'value')""",
         "q_last": "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id DESC LIMIT 1",
         "q_group_by_lang": "SELECT lang, count(*) AS n_docs, max(n_chars) AS max_chars, "
         "min(doc_id) AS min_doc FROM documents GROUP BY lang",

@@ -51,7 +51,6 @@ from yaii_spark.analyzer import (
     doc_stats_udf,
     tokenize_all_udf,
     tokenize_udf,
-    with_tokens,
 )
 from yaii_spark.codec import delta_encode, encode_positions, varint_encode
 
@@ -203,23 +202,26 @@ def build_index(
     if pages.rdd.getNumPartitions() < par:
         pages = pages.repartition(par * 2)
 
-    # fast path: per-doc (term, tf, positions) computed inside the
-    # analyzer UDF (map-side combine, Lucene-inverter style) — removes
-    # the (seg, field, term, doc) groupBy shuffle entirely. Applies to
-    # any field map sourced from text_col with standard/all analyzers;
-    # exotic configs fall back to the explode+groupBy path.
-    fast = all(
-        src == text_col and an in ("standard", "all")
-        for src, an in fields.values()
+    # per-field path split: fields sourced from text_col with the
+    # standard/all analyzers take the fast path — per-doc (term, tf,
+    # positions) computed inside the analyzer UDF (map-side combine,
+    # Lucene-inverter style), which removes the (seg, field, term, doc)
+    # groupBy shuffle entirely. Other fields (custom analyzers —
+    # ANALYZERS keys or pandas-UDF callables like make_rule_tokenizer's
+    # — or non-text sources) take the explode+groupBy path; the two
+    # streams union before segment encoding, so adding one exotic field
+    # never de-optimizes the default fields.
+    fast_fields = {
+        f: an
+        for f, (src, an) in fields.items()
+        if src == text_col and an in ("standard", "all")
+    }
+    slow_fields = {f: sa for f, sa in fields.items() if f not in fast_fields}
+    # dl (the BM25 norm) always comes from text_col's standard
+    # tokenization, so doc_stats gives it in both layouts
+    docs = pages.withColumn("_ts", doc_stats_udf(F.col(text_col))).withColumn(
+        "dl", F.col("_ts.dl").cast("long")
     )
-    if fast:
-        docs = pages.withColumn("_ts", doc_stats_udf(F.col(text_col))).withColumn(
-            "dl", F.col("_ts.dl").cast("long")
-        )
-    else:
-        docs = with_tokens(pages, text_col=text_col).withColumn(
-            "dl", F.size("tokens")
-        )
     docs = docs.withColumn("seg_id", (F.col(id_col) / F.lit(seg_size)).cast("long"))
     docs = docs.withColumn(
         "local_id", (F.col(id_col) - F.col("seg_id") * F.lit(seg_size)).cast("long")
@@ -297,54 +299,55 @@ def build_index(
 
         # ---- postings (multi-field: yaii indexes every searchable
         # field separately + the £_ALL catch-all) ----
-        if fast:
-            # per-doc stats were computed inside the analyzer UDF —
-            # explode straight to (field, term, doc, tf, positions);
-            # the first wide shuffle (groupBy seg,field,term,doc) is gone
-            ent_col = {"standard": "_ts.text_entries", "all": "_ts.all_entries"}
-            parts = []
-            for fname, (_, analyzer) in sorted(fields.items()):
-                parts.append(
-                    batch.select(
-                        "seg_id",
-                        F.col(id_col).alias("doc_id"),
-                        "dl",
-                        F.lit(fname).alias("field"),
-                        F.explode(F.col(ent_col[analyzer])).alias("e"),
-                    ).select(
-                        "seg_id", "doc_id", "dl", "field",
-                        F.col("e.term").alias("term"),
-                        F.col("e.tf").cast("long").alias("tf"),
-                        F.col("e.positions").alias("positions"),
-                    )
+        # fast fields: per-doc stats were computed inside the analyzer
+        # UDF — explode straight to (field, term, doc, tf, positions);
+        # the first wide shuffle (groupBy seg,field,term,doc) is gone
+        ent_col = {"standard": "_ts.text_entries", "all": "_ts.all_entries"}
+        parts = []
+        for fname, analyzer in sorted(fast_fields.items()):
+            parts.append(
+                batch.select(
+                    "seg_id",
+                    F.col(id_col).alias("doc_id"),
+                    "dl",
+                    F.lit(fname).alias("field"),
+                    F.explode(F.col(ent_col[analyzer])).alias("e"),
+                ).select(
+                    "seg_id", "doc_id", "dl", "field",
+                    F.col("e.term").alias("term"),
+                    F.col("e.tf").cast("long").alias("tf"),
+                    F.col("e.positions").alias("positions"),
                 )
-            tfpos = parts[0]
-            for p in parts[1:]:
-                tfpos = tfpos.unionByName(p)
-        else:
-            parts = []
-            for fname, (src, analyzer) in sorted(fields.items()):
-                tcol = (
-                    F.col("tokens")
-                    if (src == text_col and analyzer == "standard")
-                    else ANALYZERS[analyzer](F.col(src))
-                )
-                parts.append(
-                    batch.select(
-                        "seg_id",
-                        F.col(id_col).alias("doc_id"),
-                        "dl",
-                        F.lit(fname).alias("field"),
-                        F.posexplode(tcol).alias("pos", "term"),
-                    )
-                )
-            tok = parts[0]
-            for p in parts[1:]:
-                tok = tok.unionByName(p)
-            tfpos = tok.groupBy("seg_id", "field", "term", "doc_id", "dl").agg(
-                F.count("*").alias("tf"),
-                F.sort_array(F.collect_list("pos")).alias("positions"),
             )
+        # slow fields: tokenize → posexplode → per-doc groupBy (one
+        # extra shuffle, scoped to these fields only). `analyzer` may be
+        # an ANALYZERS key or any column-fn (e.g. make_rule_tokenizer's
+        # pandas UDF) — the X1 analyzer extension point.
+        slow_parts = []
+        for fname, (src, analyzer) in sorted(slow_fields.items()):
+            tcol = (analyzer if callable(analyzer) else ANALYZERS[analyzer])(F.col(src))
+            slow_parts.append(
+                batch.select(
+                    "seg_id",
+                    F.col(id_col).alias("doc_id"),
+                    "dl",
+                    F.lit(fname).alias("field"),
+                    F.posexplode(tcol).alias("pos", "term"),
+                )
+            )
+        if slow_parts:
+            tok = slow_parts[0]
+            for p in slow_parts[1:]:
+                tok = tok.unionByName(p)
+            parts.append(
+                tok.groupBy("seg_id", "field", "term", "doc_id", "dl").agg(
+                    F.count("*").alias("tf"),
+                    F.sort_array(F.collect_list("pos")).alias("positions"),
+                )
+            )
+        tfpos = parts[0]
+        for p in parts[1:]:
+            tfpos = tfpos.unionByName(p)
         # shard the per-segment posting build by term hash so one task
         # never holds a whole 2^20-doc segment's postings in memory;
         # shards stay term-complete so each (field, term) is built once

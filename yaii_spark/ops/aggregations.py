@@ -35,21 +35,40 @@ def agg_count(cat: IndexCatalog, query: A.Node | None = None) -> DataFrame:
     return _filtered_docs(cat, query).agg(F.count("*").alias("n_docs"))
 
 
-def agg_first(cat: IndexCatalog, sort_col: str, query: A.Node | None = None,
+def _sort_keys(sort) -> list[tuple[str, str]]:
+    """Normalize a sort spec: 'col' | [('col', 'asc'|'desc'), ...] —
+    the reference chains multiple sort clauses in its comparator
+    (base-inverted-index.ts:606-659); we accept the same chain."""
+    if isinstance(sort, str):
+        return [(sort, "asc")]
+    return [(c, d.lower()) for c, d in sort]
+
+
+def agg_first(cat: IndexCatalog, sort, query: A.Node | None = None,
               projection: list[str] | None = None) -> DataFrame:
-    """arg-min under (sort_col, doc_id) — deterministic ties like the
-    reference's reversed TopAccumulator (aggregate.ts:45-72)."""
+    """arg-min under the (possibly multi-key) sort chain + doc_id —
+    deterministic ties like the reference's reversed TopAccumulator
+    (aggregate.ts:45-72)."""
+    keys = _sort_keys(sort)
     d = _filtered_docs(cat, query)
-    return d.orderBy(F.col(sort_col).asc(), F.col("doc_id").asc()).limit(1).select(
-        "doc_id", *(projection or [sort_col])
+    order = [
+        F.col(c).asc() if dr.startswith("a") else F.col(c).desc() for c, dr in keys
+    ]
+    return d.orderBy(*order, F.col("doc_id").asc()).limit(1).select(
+        "doc_id", *(projection or [c for c, _ in keys])
     )
 
 
-def agg_last(cat: IndexCatalog, sort_col: str, query: A.Node | None = None,
+def agg_last(cat: IndexCatalog, sort, query: A.Node | None = None,
              projection: list[str] | None = None) -> DataFrame:
+    """arg-max: the same chain with every direction flipped."""
+    keys = _sort_keys(sort)
     d = _filtered_docs(cat, query)
-    return d.orderBy(F.col(sort_col).desc(), F.col("doc_id").desc()).limit(1).select(
-        "doc_id", *(projection or [sort_col])
+    order = [
+        F.col(c).desc() if dr.startswith("a") else F.col(c).asc() for c, dr in keys
+    ]
+    return d.orderBy(*order, F.col("doc_id").desc()).limit(1).select(
+        "doc_id", *(projection or [c for c, _ in keys])
     )
 
 

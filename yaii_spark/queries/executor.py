@@ -351,12 +351,20 @@ def search(
     sort: list[tuple[str, str]] | None = None,
     limit: int | None = None,
     projection: list[str] | None = None,
+    collation: str | None = None,
 ) -> DataFrame:
     """Boolean search with sort/limit/projection (T1-T4, P1).
 
     sort+limit compiles to Catalyst's TakeOrderedAndProject — the same
     per-partition-top-k + global-merge the reference hand-rolls
     (base-inverted-index.ts:430-455).
+
+    `collation` applies to string sort keys: the reference compares
+    strings with Intl.Collator(sensitivity:'base') — case- and
+    accent-insensitive (utils.ts:41-46) — which is Spark's
+    'UNICODE_CI_AI'; None keeps UTF8 binary order. Collation happens
+    in the sort key only, JVM-side (Spark 4 collation support), so
+    TakeOrderedAndProject still applies.
     """
     ids = execute_boolean(cat, query)
     docs = cat.docs_live()
@@ -364,9 +372,16 @@ def search(
     if projection:
         out = out.select("doc_id", *projection)
     if sort:
+
+        def key(c: str):
+            col = F.col(c)
+            if collation is not None and dict(out.dtypes).get(c) == "string":
+                col = F.collate(col, collation)
+            return col
+
         out = out.orderBy(
             *[
-                (F.col(c).desc() if d.lower().startswith("d") else F.col(c).asc())
+                (key(c).desc() if d.lower().startswith("d") else key(c).asc())
                 for c, d in sort
             ],
             F.col("doc_id").asc(),
@@ -374,3 +389,7 @@ def search(
     if limit is not None:
         out = out.limit(limit)
     return out
+
+
+#: the reference's opinionatedCompare collation (F7)
+REFERENCE_COLLATION = "UNICODE_CI_AI"
