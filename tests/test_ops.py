@@ -217,3 +217,72 @@ def test_multi_key_first_last(spark, work_dir):
     # single-key string form still works
     r = agg_first(cat, "num_attr").collect()[0]
     assert (r.num_attr, r.doc_id) == (2, 1)
+
+
+def test_fast_hash_family_recall(spark, docs):
+    """Production xxhash64 families must find the near-dup fixture pairs
+    the oracle (md5) families find — recall ≥ oracle on both MinHash-LSH
+    and SimHash candidates."""
+    # longest docs → high Jaccard after a 1-token edit → LSH detection
+    # is near-certain for BOTH families (the comparison is then fair,
+    # not a coin-flip on band collisions)
+    base = docs.orderBy(F.length("text").desc()).limit(4).collect()
+    rows = [(r.doc_id, r.text) for r in base]
+    for i, r in enumerate(base):
+        rows.append((90000 + i, r.text.replace(r.text.split()[0], "zzz", 1)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    want = {(r.doc_id, 90000 + i) for i, r in enumerate(base)}
+
+    md5_pairs = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(df, num_hashes=16, bands=16).collect()}
+    fast_pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(df, num_hashes=16, bands=16, hash_family="fast").collect()
+    }
+    assert want & fast_pairs >= want & md5_pairs
+
+    sim_md5 = simhash_candidates(simhash(df), max_hamming=16)
+    sim_fast = simhash_candidates(simhash(df, hash_family="fast"), max_hamming=16)
+    got_md5 = {(r.id_a, r.id_b) for r in sim_md5.collect()}
+    got_fast = {(r.id_a, r.id_b) for r in sim_fast.collect()}
+    assert want & got_fast >= want & got_md5
+    # fast mode is valid simhash: identical docs at hamming 0
+    dup = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    c = simhash_candidates(simhash(dup, hash_family="fast")).collect()
+    assert len(c) == 1 and c[0].hamming == 0
+
+
+def test_simhash_candidate_bound_with_length_banding(spark):
+    """The bare 16-bit chunk key grows candidates ≈ N²/65536; the
+    length-banded key must (a) cut candidate volume on a random corpus
+    and (b) keep true near-dup pairs that differ by < band_width tokens."""
+    from yaii_spark.synth import gen_pages
+
+    n = 10_000
+    pages = gen_pages(spark, n, include_fixtures=False).select(
+        "doc_id", "text", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    sh = simhash(pages, hash_family="fast").join(
+        pages.select("doc_id", "n_tokens"), "doc_id"
+    )
+    # count raw bucket collisions (pre-Hamming-filter volume == join work):
+    # compare the shuffled pair counts via max_hamming=64 (no filtering)
+    plain = simhash_candidates(sh, max_hamming=64).count()
+    banded = simhash_candidates(sh, max_hamming=64, len_col="n_tokens", band_width=4).count()
+    assert banded < plain / 3, (banded, plain)
+
+    # a true near-dup (1-token edit) survives banding
+    row = pages.limit(1).collect()[0]
+    dup_rows = [
+        (1, row.text, len(row.text.split())),
+        (2, row.text.replace(row.text.split()[0], "zzz", 1), len(row.text.split())),
+    ]
+    d = spark.createDataFrame(dup_rows, "doc_id long, text string, n_tokens long")
+    sh2 = simhash(d, hash_family="fast")
+    got = simhash_candidates(
+        sh2.join(d.select("doc_id", "n_tokens"), "doc_id"),
+        max_hamming=32, len_col="n_tokens", band_width=4,
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in got} == {(1, 2)}

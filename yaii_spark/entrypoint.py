@@ -135,6 +135,32 @@ def _contains_sql(term: str) -> str:
     return f"list_contains(toks, '{term}')"
 
 
+def _simhash_sql() -> str:
+    """DuckDB restatement of the md5-family simhash: per-token 64-bit
+    md5-prefix hash, tf-weighted sign aggregation per bit, sign-bit
+    assembly with the same two's-complement wrap as the engine."""
+    norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN tf ELSE -tf END) AS b{i}"
+        for i in range(64)
+    )
+    assemble = " + ".join(
+        f"CASE WHEN b{i} > 0 THEN {1 << i}::HUGEINT ELSE 0::HUGEINT END"
+        for i in range(64)
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, regexp_split_to_array(trim({norm}), '\\s+') AS toks FROM documents),
+tf AS (SELECT doc_id, t AS tok, count(*)::BIGINT AS tf
+       FROM (SELECT doc_id, unnest(toks) AS t FROM tok) GROUP BY doc_id, t),
+h AS (SELECT doc_id, tf, ('0x'||substr(md5(tok),1,16))::UBIGINT AS h FROM tf),
+bits AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id),
+v AS (SELECT doc_id, ({assemble}) AS u FROM bits)
+SELECT doc_id,
+       (CASE WHEN u >= 9223372036854775808::HUGEINT
+             THEN u - 18446744073709551616::HUGEINT ELSE u END)::BIGINT AS simhash
+FROM v"""
+
+
 _STOPLIST_SQL = None
 
 
@@ -371,7 +397,7 @@ def queries():
         "q_dedup_exact": q_dedup_exact,
         "q_minhash_sig": q_minhash_sig,
         "q_ngram_jaccard_adjacent": q_ngram_jaccard_adjacent,
-        "q_simhash": q_simhash,  # no SQL oracle: xxhash64 is Spark-side only
+        "q_simhash": q_simhash,
         # similarity search
         "q_cosine_topk": q_cosine_topk,
         "q_embedding_neardup": q_embedding_neardup,
@@ -466,6 +492,7 @@ WHERE list_contains(
 WITH tok AS (SELECT doc_id, regexp_split_to_array(trim({norm}), '\\s+') AS toks FROM documents),
 sh AS (SELECT doc_id, {shingle} AS sh FROM tok)
 SELECT doc_id, {mh_cols} FROM sh""",
+        "q_simhash": _simhash_sql(),
         "q_ngram_jaccard_adjacent": f"""
 WITH tok AS (SELECT doc_id, regexp_split_to_array(trim({norm}), '\\s+') AS toks FROM documents),
 sh AS (SELECT doc_id, {shingle} AS sh FROM tok)
