@@ -37,7 +37,7 @@ from yaii_spark.ops.aggregations import (
 from yaii_spark.queries import ast as A
 from yaii_spark.queries.bm25 import bm25_topk
 from yaii_spark.queries.executor import execute_boolean, search
-from yaii_spark.storage import FORMAT_VERSION, IndexCatalog
+from yaii_spark.storage import FORMAT_VERSION, IndexCatalog, read_table
 
 # ---------------------------------------------------------------------------
 # index cache per sf_dir
@@ -72,7 +72,7 @@ def get_index(
                 "_all": ("text", "all"),
                 "refs": ("text", ref_udf),
             }
-        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        docs = read_table(spark, os.path.join(sf_dir, "documents.parquet"))
         build_index(
             spark,
             docs,
@@ -85,15 +85,15 @@ def get_index(
 
 
 def _docs(spark, sf_dir) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return read_table(spark, os.path.join(sf_dir, "documents.parquet"))
 
 
 def _emb(spark, sf_dir) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return read_table(spark, os.path.join(sf_dir, "embeddings.parquet"))
 
 
 def _tbl(spark, sf_dir, name) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return read_table(spark, os.path.join(sf_dir, f"{name}.parquet"))
 
 
 # SQL fragments -------------------------------------------------------------

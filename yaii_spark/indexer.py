@@ -53,6 +53,7 @@ from yaii_spark.analyzer import (
     tokenize_udf,
 )
 from yaii_spark.codec import delta_encode, encode_positions, varint_encode
+from yaii_spark.storage import read_table, write_table
 
 DEFAULT_K1 = 1.2  # Lucene/ES defaults — yaii's stated design base
 DEFAULT_B = 0.75
@@ -247,7 +248,7 @@ def build_index(
         try:
             done = {
                 r.seg_id
-                for r in spark.read.parquet(ckpt_path).filter("status = 'done'").collect()
+                for r in read_table(spark, ckpt_path).filter("status = 'done'").collect()
             }
         except Exception:
             done = set()
@@ -276,26 +277,23 @@ def build_index(
         keep = [id_col, "seg_id", "local_id", "dl"] + [
             c for c in (stored_cols or [c for c in pages.columns if c != id_col])
         ]
-        (
-            batch.select(*dict.fromkeys(keep))
-            .write.mode("overwrite")
-            .partitionBy("seg_id")
-            .parquet(os.path.join(out_dir, "docs"))
+        write_table(
+            batch.select(*dict.fromkeys(keep)),
+            os.path.join(out_dir, "docs"),
+            partition_by=["seg_id"],
         )
 
         # ---- per-segment doc-length blobs (JVM agg + tiny encode UDF:
         # one row per segment reaches Python, not one per doc) ----
-        (
+        meta_df = (
             batch.groupBy("seg_id", "base_doc_id")
             .agg(
                 F.sort_array(F.collect_list(F.struct("local_id", "dl"))).alias("ld")
             )
             .select("seg_id", "base_doc_id", _encode_dl_udf(F.col("ld")).alias("m"))
             .select("seg_id", F.col("m.n_docs").alias("n_docs"), "base_doc_id", F.col("m.dl_bin").alias("dl_bin"))
-            .write.mode("overwrite")
-            .partitionBy("seg_id")
-            .parquet(os.path.join(out_dir, "seg_meta"))
         )
+        write_table(meta_df, os.path.join(out_dir, "seg_meta"), partition_by=["seg_id"])
 
         # ---- postings (multi-field: yaii indexes every searchable
         # field separately + the £_ALL catch-all) ----
@@ -357,12 +355,10 @@ def build_index(
         enc = tfpos.groupBy("seg_id", "shard").applyInPandas(
             _make_segment_encoder(avgdl, k1, b), schema=_POSTINGS_SCHEMA
         )
-        (
-            enc.repartition("seg_id")
-            .sortWithinPartitions("field", "term")
-            .write.mode("overwrite")
-            .partitionBy("seg_id")
-            .parquet(os.path.join(out_dir, "postings"))
+        write_table(
+            enc.repartition("seg_id").sortWithinPartitions("field", "term"),
+            os.path.join(out_dir, "postings"),
+            partition_by=["seg_id"],
         )
 
         # ---- checkpoints / lineage (after postings are durable) ----
@@ -370,7 +366,7 @@ def build_index(
         # per-segment lineage counts and the corpus-wide term stats;
         # lineage rows are written distributed (no per-segment collect —
         # at 10^6 segments the driver never materializes the counts)
-        post_all = spark.read.parquet(os.path.join(out_dir, "postings")).cache()
+        post_all = read_table(spark, os.path.join(out_dir, "postings")).cache()
         wall = time.time() - t0
         seg_counts = (
             post_all.join(F.broadcast(pend_df), "seg_id", "left_semi")
@@ -387,9 +383,9 @@ def build_index(
             )
         )
         mode = "append" if (resume and os.path.exists(ckpt_path)) else "overwrite"
-        ck.write.mode(mode).parquet(ckpt_path)
+        write_table(ck, ckpt_path, mode=mode)
     else:
-        post_all = spark.read.parquet(os.path.join(out_dir, "postings"))
+        post_all = read_table(spark, os.path.join(out_dir, "postings"))
 
     # ---- corpus-wide term stats (recomputed from durable postings —
     # correct under resume because postings are the source of truth).
@@ -398,9 +394,9 @@ def build_index(
     # unprunable lookup. 256 bucket dirs + in-bucket term sort give
     # partition-pruned, row-group-pruned point lookups (storage.
     # term_stats_for computes the same md5 bucket driver-side). ----
-    from yaii_spark.storage import TERM_STATS_BUCKETS, term_stats_bucket_col
+    from yaii_spark.storage import term_stats_bucket_col
 
-    (
+    ts_df = (
         post_all.groupBy("field", "term")
         .agg(F.sum("df_local").alias("df"), F.sum("cf_local").alias("cf"))
         .withColumn("bucket", term_stats_bucket_col())
@@ -411,16 +407,17 @@ def build_index(
         # the (field, term) row-group order
         .repartition("bucket")
         .sortWithinPartitions("bucket", "field", "term")
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(os.path.join(out_dir, "term_stats"))
     )
+    write_table(ts_df, os.path.join(out_dir, "term_stats"), partition_by=["bucket"])
     if pending:
         post_all.unpersist()
-    spark.createDataFrame(
-        [(n_total, avgdl, float(k1), float(b), int(seg_size), BLOCK_SIZE)],
-        "n_docs long, avgdl double, k1 double, b double, seg_size long, block_size long",
-    ).write.mode("overwrite").parquet(os.path.join(out_dir, "corpus_stats"))
+    write_table(
+        spark.createDataFrame(
+            [(n_total, avgdl, float(k1), float(b), int(seg_size), BLOCK_SIZE)],
+            "n_docs long, avgdl double, k1 double, b double, seg_size long, block_size long",
+        ),
+        os.path.join(out_dir, "corpus_stats"),
+    )
 
     docs.unpersist()
     metrics["wall_sec"] = time.time() - t0
@@ -433,13 +430,13 @@ def delete_docs(spark: SparkSession, index_dir: str, doc_ids: list[int]) -> int:
     mutable-segment.ts:191-197 — immutable segments there throw
     NotImplemented; ours works uniformly). Appends (seg_id, doc_id)
     rows; queries anti-join / subtract them. Returns count added."""
-    stats = spark.read.parquet(os.path.join(index_dir, "corpus_stats")).collect()[0]
+    stats = read_table(spark, os.path.join(index_dir, "corpus_stats")).collect()[0]
     seg_size = int(stats.seg_size)
     rows = [(int(d) // seg_size, int(d)) for d in sorted(set(doc_ids))]
     df = spark.createDataFrame(rows, "seg_id long, doc_id long")
     path = os.path.join(index_dir, "tombstones")
     mode = "append" if os.path.exists(path) else "overwrite"
-    df.write.mode(mode).parquet(path)
+    write_table(df, path, mode=mode)
     return len(rows)
 
 
@@ -465,13 +462,13 @@ def merge_segments(
        happens (the payoff of the seg_id*seg_size+local docID design);
        block maxes are recomputed against the merged dl array.
     """
-    srow = spark.read.parquet(os.path.join(index_dir, "corpus_stats")).collect()[0]
+    srow = read_table(spark, os.path.join(index_dir, "corpus_stats")).collect()[0]
     seg_size, avgdl, k1, b = int(srow.seg_size), float(srow.avgdl), float(srow.k1), float(srow.b)
     block_size = int(srow.asDict().get("block_size") or 128)
     new_size = seg_size * factor
 
-    meta = spark.read.parquet(os.path.join(index_dir, "seg_meta"))
-    post = spark.read.parquet(os.path.join(index_dir, "postings"))
+    meta = read_table(spark, os.path.join(index_dir, "seg_meta"))
+    post = read_table(spark, os.path.join(index_dir, "postings"))
 
     # ---- merged seg_meta: place old dl blobs at their offsets ----
     def merge_meta(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -500,9 +497,7 @@ def merge_segments(
         .groupBy("new_seg")
         .applyInPandas(merge_meta, schema=_SEG_META_SCHEMA)
     )
-    new_meta.write.mode("overwrite").partitionBy("seg_id").parquet(
-        os.path.join(out_dir, "seg_meta")
-    )
+    write_table(new_meta, os.path.join(out_dir, "seg_meta"), partition_by=["seg_id"])
 
     def merge_shard(post_pdf: pd.DataFrame, meta_pdf: pd.DataFrame) -> pd.DataFrame:
         from yaii_spark.codec import (
@@ -566,58 +561,58 @@ def merge_segments(
     )
     # replicate each merged dl blob to every shard of its segment
     meta_sharded = (
-        spark.read.parquet(os.path.join(out_dir, "seg_meta"))
+        read_table(spark, os.path.join(out_dir, "seg_meta"))
         .select(F.col("seg_id").alias("new_seg"), "dl_bin")
         .crossJoin(spark.range(MERGE_SHARDS).select(F.col("id").alias("shard")))
     )
-    (
+    write_table(
         posts.groupBy("new_seg", "shard")
         .cogroup(meta_sharded.groupBy("new_seg", "shard"))
         .applyInPandas(merge_shard, schema=out_schema)
         .repartition("seg_id")
-        .sortWithinPartitions("field", "term")
-        .write.mode("overwrite")
-        .partitionBy("seg_id")
-        .parquet(os.path.join(out_dir, "postings"))
+        .sortWithinPartitions("field", "term"),
+        os.path.join(out_dir, "postings"),
+        partition_by=["seg_id"],
     )
 
     # docs table, stats, checkpoints carry over with re-keyed seg_id
-    docs = spark.read.parquet(os.path.join(index_dir, "docs"))
-    (
+    docs = read_table(spark, os.path.join(index_dir, "docs"))
+    write_table(
         docs.withColumn("seg_id", (F.col("seg_id") / factor).cast("long"))
-        .withColumn("local_id", F.col("doc_id") - F.col("seg_id") * F.lit(new_size))
-        .write.mode("overwrite")
-        .partitionBy("seg_id")
-        .parquet(os.path.join(out_dir, "docs"))
+        .withColumn("local_id", F.col("doc_id") - F.col("seg_id") * F.lit(new_size)),
+        os.path.join(out_dir, "docs"),
+        partition_by=["seg_id"],
     )
     # corpus-wide term stats are merge-invariant; carry the bucket layout
     # (explicit bucket-led sort keeps the writer from re-sorting rows)
-    (
-        spark.read.parquet(os.path.join(index_dir, "term_stats"))
-        .sortWithinPartitions("bucket", "field", "term")
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(os.path.join(out_dir, "term_stats"))
+    write_table(
+        read_table(spark, os.path.join(index_dir, "term_stats"))
+        .sortWithinPartitions("bucket", "field", "term"),
+        os.path.join(out_dir, "term_stats"),
+        partition_by=["bucket"],
     )
-    spark.createDataFrame(
-        [(int(srow.n_docs), avgdl, k1, b, new_size, block_size)],
-        "n_docs long, avgdl double, k1 double, b double, seg_size long, block_size long",
-    ).write.mode("overwrite").parquet(os.path.join(out_dir, "corpus_stats"))
-    post_new = spark.read.parquet(os.path.join(out_dir, "postings"))
+    write_table(
+        spark.createDataFrame(
+            [(int(srow.n_docs), avgdl, k1, b, new_size, block_size)],
+            "n_docs long, avgdl double, k1 double, b double, seg_size long, block_size long",
+        ),
+        os.path.join(out_dir, "corpus_stats"),
+    )
+    post_new = read_table(spark, os.path.join(out_dir, "postings"))
     ck = post_new.groupBy("seg_id").agg(
         F.sum("df_local").alias("n_postings_docs"), F.count("*").alias("n_terms")
     ).select(
         "seg_id", "n_postings_docs", "n_terms",
         F.lit(0.0).alias("wall_sec"), F.lit("done").alias("status"),
     )
-    ck.write.mode("overwrite").parquet(os.path.join(out_dir, "checkpoints"))
+    write_table(ck, os.path.join(out_dir, "checkpoints"))
     tomb = os.path.join(index_dir, "tombstones")
     if os.path.exists(tomb):
-        (
-            spark.read.parquet(tomb)
-            .withColumn("seg_id", (F.col("seg_id") / factor).cast("long"))
-            .write.mode("overwrite")
-            .parquet(os.path.join(out_dir, "tombstones"))
+        write_table(
+            read_table(spark, tomb).withColumn(
+                "seg_id", (F.col("seg_id") / factor).cast("long")
+            ),
+            os.path.join(out_dir, "tombstones"),
         )
-    n_after = spark.read.parquet(os.path.join(out_dir, "seg_meta")).count()
+    n_after = read_table(spark, os.path.join(out_dir, "seg_meta")).count()
     return {"segments_before": meta.select("seg_id").distinct().count(), "segments_after": n_after}

@@ -14,9 +14,11 @@ Layout (SURVEY.md §7.0). An index directory holds five tables:
     <root>/checkpoints/  per-segment lineage: seg_id, n_docs, n_postings,
                           wall_sec, status — resumability (north_rule)
 
-Storage goes through ``spark.read/write.parquet``; on a cluster with an
-Iceberg catalog the same code runs with ``format("iceberg")`` — the
-sandbox image has no Iceberg jars (import-gated in ``iceberg_format``).
+All storage goes through ONE read/write seam (``read_table`` /
+``write_table``): parquet directories by default, the same paths as
+Iceberg (Hadoop) tables when a catalog is configured — the sandbox
+image has no Iceberg jars, so that branch is covered by a
+skip-if-no-jars test.
 
 The reference's segment == contiguous docID range ``[from, next)``
 (/root/reference/src/lib/internal/segments/segment.ts:12-57); ours is
@@ -69,6 +71,36 @@ def iceberg_format(spark: SparkSession) -> str | None:
     return None
 
 
+def read_table(spark: SparkSession, path: str):
+    """Single read seam for every index table (north_rule: 'over
+    Iceberg tables'). With an Iceberg catalog configured the same
+    call reads the path as an Iceberg (Hadoop) table — snapshot
+    isolation, hidden-partition pruning; without one (this sandbox has
+    no Iceberg jars) it is a plain parquet directory with identical
+    layout. Both paths are exercised: parquet everywhere, iceberg by a
+    skip-if-no-jars test (tests/test_storage_seam.py)."""
+    fmt = iceberg_format(spark)
+    if fmt:
+        return spark.read.format(fmt).load(path)
+    return spark.read.parquet(path)
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Single write seam (see read_table). Partitioning columns map
+    1:1 onto Iceberg identity-partition specs."""
+    spark = df.sparkSession
+    fmt = iceberg_format(spark) or "parquet"
+    w = df.write.mode(mode).format(fmt)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)
+
+
 @dataclass(frozen=True)
 class CorpusStats:
     n_docs: int
@@ -93,7 +125,7 @@ class IndexCatalog:
         return os.path.exists(os.path.join(self.path("corpus_stats"), "_SUCCESS"))
 
     def corpus_stats(self) -> CorpusStats:
-        row = self.spark.read.parquet(self.path("corpus_stats")).collect()[0]
+        row = read_table(self.spark, self.path("corpus_stats")).collect()[0]
         d = row.asDict()
         return CorpusStats(
             n_docs=row.n_docs, avgdl=row.avgdl, k1=row.k1, b=row.b,
@@ -104,7 +136,7 @@ class IndexCatalog:
         )
 
     def docs(self) -> DataFrame:
-        return self.spark.read.parquet(self.path("docs"))
+        return read_table(self.spark, self.path("docs"))
 
     def postings(
         self,
@@ -119,7 +151,7 @@ class IndexCatalog:
         (field, term), so row-group min/max stats prune equality AND
         range lookups (the B-tree-like path); contains() degrades to an
         in-segment dictionary scan by design."""
-        df = self.spark.read.parquet(self.path("postings"))
+        df = read_table(self.spark, self.path("postings"))
         if field_terms is None and not scans:
             return df
         cond = None
@@ -146,13 +178,13 @@ class IndexCatalog:
         return df.filter(cond if cond is not None else F.lit(False))
 
     def seg_meta(self) -> DataFrame:
-        return self.spark.read.parquet(self.path("seg_meta"))
+        return read_table(self.spark, self.path("seg_meta"))
 
     def term_stats(self) -> DataFrame:
-        return self.spark.read.parquet(self.path("term_stats"))
+        return read_table(self.spark, self.path("term_stats"))
 
     def checkpoints(self) -> DataFrame:
-        return self.spark.read.parquet(self.path("checkpoints"))
+        return read_table(self.spark, self.path("checkpoints"))
 
     def tombstones(self) -> DataFrame | None:
         """Deleted doc ids (seg_id, doc_id) or None when nothing was
@@ -162,7 +194,7 @@ class IndexCatalog:
         p = self.path("tombstones")
         if not os.path.exists(p):
             return None
-        return self.spark.read.parquet(p)
+        return read_table(self.spark, p)
 
     def docs_live(self) -> DataFrame:
         """Docs minus tombstones (the reference's
