@@ -269,6 +269,38 @@ def q_cosine_topk(spark, sf_dir):
     return S.cosine_topk(emb.filter("vec_id > 0"), qv, k=5)
 
 
+def q_ann_lsh(spark, sf_dir):
+    """LSH-bucketed ANN (multiprobe hamming≤1) — the scale path for
+    similarity search; the oracle recomputes the identical hyperplane
+    signatures (seeded constants embedded as SQL literals) + exact
+    rerank, so bucketing AND scoring are value-checked."""
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in emb.filter("vec_id = 0").collect()[0].embedding]
+    out = S.lsh_ann_topk(
+        emb.filter("vec_id > 0"), qv, dim=len(qv), k=5, multiprobe_hamming=1
+    )
+    return out
+
+
+def _ann_lsh_sql(dim: int = 64, n_planes: int = 8) -> str:
+    planes = S._hyperplanes(dim, n_planes, seed=42)
+    plane_lit = lambda j: "[" + ",".join(repr(float(x)) for x in planes[j]) + "]::DOUBLE[]"
+    bucket = lambda v: " + ".join(
+        f"(CASE WHEN list_dot_product({v}, {plane_lit(j)}) > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(n_planes)
+    )
+    cos = ("list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * "
+           "sqrt(list_dot_product(qv, qv)))")
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+qb AS (SELECT qv, ({bucket('qv')}) AS qbucket FROM q),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id > 0),
+b AS (SELECT vec_id, v, ({bucket('v')}) AS bucket FROM e),
+c AS (SELECT vec_id, v, qv FROM b, qb WHERE bit_count(xor(bucket::BIGINT, qbucket::BIGINT)) <= 1)
+SELECT vec_id, round({cos}, 6) AS cosine
+FROM c ORDER BY {cos} DESC, vec_id ASC LIMIT 5"""
+
+
 def q_embedding_neardup(spark, sf_dir):
     emb = _emb(spark, sf_dir).filter("vec_id < 100")
     return D.embedding_near_dups(emb, block_col="label", threshold=0.3)
@@ -400,6 +432,7 @@ def queries():
         "q_simhash": q_simhash,
         # similarity search
         "q_cosine_topk": q_cosine_topk,
+        "q_ann_lsh": q_ann_lsh,
         "q_embedding_neardup": q_embedding_neardup,
         # text analysis
         "q_token_counts": q_token_counts,
@@ -511,6 +544,7 @@ ORDER BY list_dot_product(embedding::DOUBLE[], q.qv)
          / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
             * sqrt(list_dot_product(q.qv, q.qv))) DESC, vec_id ASC
 LIMIT 5""",
+        "q_ann_lsh": _ann_lsh_sql(),
         "q_embedding_neardup": """
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 100)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
