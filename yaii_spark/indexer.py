@@ -48,9 +48,10 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from yaii_spark.analyzer import (
-    doc_stats_udf,
+    make_doc_postings_udf,
     tokenize_all_udf,
     tokenize_udf,
+    varint_read,
 )
 from yaii_spark.codec import delta_encode, encode_positions, varint_encode
 from yaii_spark.storage import read_table, write_table
@@ -117,6 +118,68 @@ def _make_segment_encoder(avgdl: float, k1: float, b: float):
             out["doc_ids_bin"].append(delta_encode(ids))
             out["tfs_bin"].append(varint_encode(tfs))
             out["pos_bin"].append(encode_positions(list(g["positions"])))
+            out["block_maxes"].append(bmax)
+            out["max_norm"].append(float(norms.max()) if norms.size else 0.0)
+        return pd.DataFrame(out)
+
+    return encode
+
+
+def _make_packed_encoder(field_names: list[str], avgdl: float, k1: float, b: float):
+    """Per-(segment, shard) posting builder over packed per-doc blobs
+    (analyzer.doc_postings layout). Rows are processed in doc_id order,
+    so each (field, term)'s doc ids accumulate already sorted; position
+    bytes are concatenated verbatim (LEB128 deltas are concat-safe —
+    identical bytes to codec.encode_positions)."""
+
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id", kind="mergesort")
+        seg = int(pdf["seg_id"].iloc[0])
+        acc: dict = {}
+        for doc_id, dl, data in zip(
+            pdf["doc_id"].to_numpy(), pdf["dl"].to_numpy(), pdf["data"]
+        ):
+            off = 0
+            n = len(data)
+            while off < n:
+                fid, off = varint_read(data, off)
+                tl, off = varint_read(data, off)
+                term = data[off : off + tl]
+                off += tl
+                tf, off = varint_read(data, off)
+                pl, off = varint_read(data, off)
+                pos = data[off : off + pl]
+                off += pl
+                e = acc.get((fid, term))
+                if e is None:
+                    e = acc[(fid, term)] = ([], [], [], [])
+                e[0].append(doc_id)
+                e[1].append(tf)
+                e[2].append(dl)
+                e[3].append(pos)
+        out = {
+            "seg_id": [], "field": [], "term": [], "df_local": [], "cf_local": [],
+            "doc_ids_bin": [], "tfs_bin": [], "pos_bin": [],
+            "block_maxes": [], "max_norm": [],
+        }
+        for (fid, term), (ids, tfs, dls, poss) in acc.items():
+            ids_a = np.array(ids, dtype=np.uint64)
+            tfs_a = np.array(tfs, dtype=np.uint64)
+            dls_a = np.array(dls, dtype=np.int64)
+            norms = _tf_norm(tfs_a, dls_a, avgdl, k1, b)
+            nblocks = math.ceil(ids_a.size / BLOCK_SIZE)
+            bmax = [
+                float(norms[i * BLOCK_SIZE : (i + 1) * BLOCK_SIZE].max())
+                for i in range(nblocks)
+            ]
+            out["seg_id"].append(seg)
+            out["field"].append(field_names[fid])
+            out["term"].append(term.decode("utf-8"))
+            out["df_local"].append(int(ids_a.size))
+            out["cf_local"].append(int(tfs_a.sum()))
+            out["doc_ids_bin"].append(delta_encode(ids_a))
+            out["tfs_bin"].append(varint_encode(tfs_a))
+            out["pos_bin"].append(b"".join(poss))
             out["block_maxes"].append(bmax)
             out["max_norm"].append(float(norms.max()) if norms.size else 0.0)
         return pd.DataFrame(out)
@@ -219,9 +282,14 @@ def build_index(
     }
     slow_fields = {f: sa for f, sa in fields.items() if f not in fast_fields}
     # dl (the BM25 norm) always comes from text_col's standard
-    # tokenization, so doc_stats gives it in both layouts
-    docs = pages.withColumn("_ts", doc_stats_udf(F.col(text_col))).withColumn(
-        "dl", F.col("_ts.dl").cast("long")
+    # tokenization; the same UDF pass packs the fast fields' inverted
+    # entries into per-shard binary blobs (analyzer.doc_postings — the
+    # Arrow-nested-struct layout this replaces was ~95% of the stage)
+    fast_names = sorted(fast_fields)
+    fast_specs = [(i, fast_fields[f]) for i, f in enumerate(fast_names)]
+    dp_udf = make_doc_postings_udf(postings_shards, fast_specs)
+    docs = pages.withColumn("_dp", dp_udf(F.col(text_col))).withColumn(
+        "dl", F.col("_dp.dl").cast("long")
     )
     docs = docs.withColumn("seg_id", (F.col(id_col) / F.lit(seg_size)).cast("long"))
     docs = docs.withColumn(
@@ -297,25 +365,28 @@ def build_index(
 
         # ---- postings (multi-field: yaii indexes every searchable
         # field separately + the £_ALL catch-all) ----
-        # fast fields: per-doc stats were computed inside the analyzer
-        # UDF — explode straight to (field, term, doc, tf, positions);
-        # the first wide shuffle (groupBy seg,field,term,doc) is gone
-        ent_col = {"standard": "_ts.text_entries", "all": "_ts.all_entries"}
-        parts = []
-        for fname, analyzer in sorted(fast_fields.items()):
-            parts.append(
-                batch.select(
-                    "seg_id",
-                    F.col(id_col).alias("doc_id"),
-                    "dl",
-                    F.lit(fname).alias("field"),
-                    F.explode(F.col(ent_col[analyzer])).alias("e"),
-                ).select(
-                    "seg_id", "doc_id", "dl", "field",
-                    F.col("e.term").alias("term"),
-                    F.col("e.tf").cast("long").alias("tf"),
-                    F.col("e.positions").alias("positions"),
-                )
+        # fast fields: the analyzer UDF already inverted each doc into
+        # per-shard packed entry blobs — explode to ONE row per
+        # (doc, shard) (≈16 rows/doc instead of ~|unique terms| struct
+        # rows), shuffle by (seg, shard), decode + encode per task.
+        # Sharding by term hash bounds task memory: one task never
+        # holds a whole 2^20-doc segment's postings, and shards stay
+        # term-complete so each (field, term) is built exactly once.
+        enc = None
+        if fast_fields:
+            packed = batch.select(
+                "seg_id",
+                F.col(id_col).alias("doc_id"),
+                "dl",
+                F.explode("_dp.blobs").alias("b"),
+            ).select(
+                "seg_id", "doc_id", "dl",
+                F.col("b.shard").alias("shard"),
+                F.col("b.data").alias("data"),
+            )
+            enc = packed.groupBy("seg_id", "shard").applyInPandas(
+                _make_packed_encoder(fast_names, avgdl, k1, b),
+                schema=_POSTINGS_SCHEMA,
             )
         # slow fields: tokenize → posexplode → per-doc groupBy (one
         # extra shuffle, scoped to these fields only). `analyzer` may be
@@ -337,24 +408,16 @@ def build_index(
             tok = slow_parts[0]
             for p in slow_parts[1:]:
                 tok = tok.unionByName(p)
-            parts.append(
-                tok.groupBy("seg_id", "field", "term", "doc_id", "dl").agg(
-                    F.count("*").alias("tf"),
-                    F.sort_array(F.collect_list("pos")).alias("positions"),
-                )
+            tfpos = tok.groupBy("seg_id", "field", "term", "doc_id", "dl").agg(
+                F.count("*").alias("tf"),
+                F.sort_array(F.collect_list("pos")).alias("positions"),
+            ).withColumn(
+                "shard", F.pmod(F.xxhash64("field", "term"), F.lit(postings_shards))
             )
-        tfpos = parts[0]
-        for p in parts[1:]:
-            tfpos = tfpos.unionByName(p)
-        # shard the per-segment posting build by term hash so one task
-        # never holds a whole 2^20-doc segment's postings in memory;
-        # shards stay term-complete so each (field, term) is built once
-        tfpos = tfpos.withColumn(
-            "shard", F.pmod(F.xxhash64("field", "term"), F.lit(postings_shards))
-        )
-        enc = tfpos.groupBy("seg_id", "shard").applyInPandas(
-            _make_segment_encoder(avgdl, k1, b), schema=_POSTINGS_SCHEMA
-        )
+            enc_slow = tfpos.groupBy("seg_id", "shard").applyInPandas(
+                _make_segment_encoder(avgdl, k1, b), schema=_POSTINGS_SCHEMA
+            )
+            enc = enc_slow if enc is None else enc.unionByName(enc_slow)
         write_table(
             enc.repartition("seg_id").sortWithinPartitions("field", "term"),
             os.path.join(out_dir, "postings"),
