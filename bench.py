@@ -29,6 +29,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# this Firecracker host oversubscribes vCPUs above ~8: local[32] is
+# measurably SLOWER than local[8] on the same job (BENCH/BASELINE.md
+# controls: even pure-ALU work gains only ~2.4x from 8->32 threads).
+# The headline bench therefore runs at min(requested, 8) — the last
+# parallelism level where wall time measures the engine, not the host.
+# Set BENCH_HONEST_CAP=0 to disable the cap.
+CAP = int(os.environ.get("BENCH_HONEST_CAP", "8"))
+USED_CPUS = min(CPUS, CAP) if CAP > 0 else CPUS
 SYNTH_DOCS = int(os.environ.get("BENCH_SYNTH_DOCS", "200000"))
 REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
 
@@ -40,7 +48,15 @@ def main() -> None:
     from yaii_spark.synth import gen_pages
     from yaii_spark import entrypoint as EP
 
-    spark = get_spark("yaii-bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    # shuffle/spill on tmpfs — a cluster node's local-NVMe analogue;
+    # the sandbox's single shared virtual disk otherwise caps >4-thread
+    # runs at its bandwidth (BENCH/BASELINE.md measurement notes)
+    local_dir = "/dev/shm/spark-local"
+    os.makedirs(local_dir, exist_ok=True)
+    spark = get_spark(
+        "yaii-bench", master=f"local[{USED_CPUS}]", shuffle_partitions=USED_CPUS,
+        extra_conf={"spark.local.dir": local_dir},
+    )
     sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1)
 
     tmp = tempfile.mkdtemp(prefix="yaii_bench_")
@@ -49,7 +65,7 @@ def main() -> None:
         # materialize the synthetic corpus to parquet first: the timed
         # region is read→tokenize→postings→write, like a real build over
         # an Iceberg input table (generation cost excluded)
-        gen_pages(spark, SYNTH_DOCS, include_fixtures=False, partitions=CPUS).write.mode(
+        gen_pages(spark, SYNTH_DOCS, include_fixtures=False, partitions=max(USED_CPUS * 4, 32)).write.mode(
             "overwrite"
         ).parquet(f"{tmp}/pages")
         pages = spark.read.parquet(f"{tmp}/pages")
@@ -75,10 +91,11 @@ def main() -> None:
         qs = EP.queries()
         headline = [
             "q_token", "q_and", "q_or", "q_not",
+            "q_phrase", "q_token_range",
             "q_bm25_rare", "q_bm25_mixed", "q_bm25_and",
             "q_sort_limit", "q_group_by_lang",
             "q_dedup_exact", "q_minhash_sig", "q_simhash",
-            "q_cosine_topk", "q_quality", "q_lang_id",
+            "q_cosine_topk", "q_ann_lsh", "q_quality", "q_lang_id",
             "q_tpch_q1", "q_revenue_by_nation", "q_events_by_type",
         ]
         EP.get_index(spark, SF_DIR)  # build once, outside query timing
@@ -104,6 +121,7 @@ def main() -> None:
                     "queries": latencies,
                     "sf": sf,
                     "cpus": CPUS,
+                    "cpus_used": USED_CPUS,
                     "query_p50_sec": p50,
                     "build": build,
                 }

@@ -286,3 +286,83 @@ def test_simhash_candidate_bound_with_length_banding(spark):
         max_hamming=32, len_col="n_tokens", band_width=4,
     ).collect()
     assert {(r.id_a, r.id_b) for r in got} == {(1, 2)}
+
+
+def test_ivf_ann(spark, emb):
+    """IVF: full-probe == exact brute force (rank+value identical);
+    partial probe returns correctly-scored vectors from probed cells;
+    cell assignment matches a numpy recompute."""
+    from yaii_spark.ops.similarity import (
+        cosine_topk, ivf_ann_topk, ivf_train, with_ivf_cell,
+    )
+
+    pool = emb.filter("vec_id > 0")
+    qv = [float(x) for x in emb.filter("vec_id = 0").collect()[0].embedding]
+    cent = ivf_train(pool, n_cells=8, sample_rows=512)
+    assert cent.shape[1] == len(qv)
+
+    exact = [(r.vec_id, r.cosine) for r in cosine_topk(pool, qv, k=5).collect()]
+    full = [(r.vec_id, r.cosine)
+            for r in ivf_ann_topk(pool, qv, cent, k=5, n_probe=8).collect()]
+    assert full == exact
+
+    part = ivf_ann_topk(pool, qv, cent, k=5, n_probe=2).collect()
+    assert 0 < len(part) <= 5
+    exact_scores = dict(
+        (r.vec_id, r.cosine)
+        for r in cosine_topk(pool, qv, k=10**9).collect()
+    )
+    for r in part:
+        assert abs(exact_scores[r.vec_id] - r.cosine) < 1e-9
+
+    # assignment parity with numpy
+    rows = with_ivf_cell(pool.limit(50), cent).collect()
+    for r in rows:
+        v = np.array(r.embedding, dtype=np.float64)
+        v = v / max(np.linalg.norm(v), 1e-12)
+        assert int((cent @ v).argmax()) == r.ivf_cell
+
+
+def test_streaming_dedup_cross_batch(spark, tmp_path):
+    """applyInPandasWithState exact dedup: an in-batch duplicate picks
+    the min-id survivor; a duplicate arriving in a LATER micro-batch of
+    the same query is suppressed by per-key GroupState."""
+    import datetime as dt
+    import os
+
+    from yaii_spark.streaming import streaming_dedup
+    from yaii_spark.synth import EPOCH, PAGES_SCHEMA, render_html
+
+    d = str(tmp_path / "incoming")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(d, exist_ok=True)
+
+    def write_batch(rows):
+        data = [
+            (i, f"https://x/{i}", EPOCH + dt.timedelta(seconds=i),
+             render_html(t), t, "en", i)
+            for i, t in rows
+        ]
+        spark.createDataFrame(data, PAGES_SCHEMA).write.mode("append").parquet(d)
+
+    write_batch([(1, "alpha beta"), (2, "alpha  BETA "), (3, "gamma")])
+    src = spark.readStream.schema(PAGES_SCHEMA).parquet(d)
+    q = (
+        streaming_dedup(src)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("dedup_sink").option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got1 = {r.keep_id for r in spark.sql("SELECT keep_id FROM dedup_sink").collect()}
+        assert got1 == {1, 3}  # 2 is an in-batch dup of 1 (min id wins)
+
+        # later micro-batch: 4 duplicates doc 1 -> suppressed by state;
+        # 5 is new content -> emitted
+        write_batch([(4, "alpha beta"), (5, "delta")])
+        q.processAllAvailable()
+        got2 = {r.keep_id for r in spark.sql("SELECT keep_id FROM dedup_sink").collect()}
+        assert got2 == {1, 3, 5}
+    finally:
+        q.stop()

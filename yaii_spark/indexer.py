@@ -345,11 +345,7 @@ def build_index(
         keep = [id_col, "seg_id", "local_id", "dl"] + [
             c for c in (stored_cols or [c for c in pages.columns if c != id_col])
         ]
-        write_table(
-            batch.select(*dict.fromkeys(keep)),
-            os.path.join(out_dir, "docs"),
-            partition_by=["seg_id"],
-        )
+        docs_df = batch.select(*dict.fromkeys(keep))
 
         # ---- per-segment doc-length blobs (JVM agg + tiny encode UDF:
         # one row per segment reaches Python, not one per doc) ----
@@ -361,7 +357,6 @@ def build_index(
             .select("seg_id", "base_doc_id", _encode_dl_udf(F.col("ld")).alias("m"))
             .select("seg_id", F.col("m.n_docs").alias("n_docs"), "base_doc_id", F.col("m.dl_bin").alias("dl_bin"))
         )
-        write_table(meta_df, os.path.join(out_dir, "seg_meta"), partition_by=["seg_id"])
 
         # ---- postings (multi-field: yaii indexes every searchable
         # field separately + the £_ALL catch-all) ----
@@ -418,11 +413,33 @@ def build_index(
                 _make_segment_encoder(avgdl, k1, b), schema=_POSTINGS_SCHEMA
             )
             enc = enc_slow if enc is None else enc.unionByName(enc_slow)
-        write_table(
-            enc.repartition("seg_id").sortWithinPartitions("field", "term"),
-            os.path.join(out_dir, "postings"),
-            partition_by=["seg_id"],
-        )
+        # the three table writes are independent (all read the persisted
+        # tokenized batch, whose blocks were materialized by the stats
+        # job above) — submit them as CONCURRENT Spark jobs so their
+        # driver-side latencies (planning, file listing, commit) overlap
+        # and idle cores of the shorter jobs feed the longest one.
+        # Checkpoints stay strictly AFTER all three (resume correctness).
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            futs = [
+                pool.submit(
+                    write_table, docs_df, os.path.join(out_dir, "docs"),
+                    partition_by=["seg_id"],
+                ),
+                pool.submit(
+                    write_table, meta_df, os.path.join(out_dir, "seg_meta"),
+                    partition_by=["seg_id"],
+                ),
+                pool.submit(
+                    write_table,
+                    enc.repartition("seg_id").sortWithinPartitions("field", "term"),
+                    os.path.join(out_dir, "postings"),
+                    partition_by=["seg_id"],
+                ),
+            ]
+            for f in futs:
+                f.result()
 
         # ---- checkpoints / lineage (after postings are durable) ----
         # one cached read of the durable postings feeds both the
@@ -445,9 +462,9 @@ def build_index(
                 F.lit("done").alias("status"),
             )
         )
-        mode = "append" if (resume and os.path.exists(ckpt_path)) else "overwrite"
-        write_table(ck, ckpt_path, mode=mode)
+        ck_mode = "append" if (resume and os.path.exists(ckpt_path)) else "overwrite"
     else:
+        ck = None
         post_all = read_table(spark, os.path.join(out_dir, "postings"))
 
     # ---- corpus-wide term stats (recomputed from durable postings —
@@ -471,16 +488,29 @@ def build_index(
         .repartition("bucket")
         .sortWithinPartitions("bucket", "field", "term")
     )
-    write_table(ts_df, os.path.join(out_dir, "term_stats"), partition_by=["bucket"])
+    cs_df = spark.createDataFrame(
+        [(n_total, avgdl, float(k1), float(b), int(seg_size), BLOCK_SIZE)],
+        "n_docs long, avgdl double, k1 double, b double, seg_size long, block_size long",
+    )
+    # lineage (ck), term_stats and corpus_stats are mutually independent
+    # (ck + term_stats share the cached post_all; concurrent computes of
+    # the same cached blocks are block-manager-serialized) — overlap them
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = [
+            pool.submit(
+                write_table, ts_df, os.path.join(out_dir, "term_stats"),
+                partition_by=["bucket"],
+            ),
+            pool.submit(write_table, cs_df, os.path.join(out_dir, "corpus_stats")),
+        ]
+        if ck is not None:
+            futs.append(pool.submit(write_table, ck, ckpt_path, mode=ck_mode))
+        for f in futs:
+            f.result()
     if pending:
         post_all.unpersist()
-    write_table(
-        spark.createDataFrame(
-            [(n_total, avgdl, float(k1), float(b), int(seg_size), BLOCK_SIZE)],
-            "n_docs long, avgdl double, k1 double, b double, seg_size long, block_size long",
-        ),
-        os.path.join(out_dir, "corpus_stats"),
-    )
 
     docs.unpersist()
     metrics["wall_sec"] = time.time() - t0

@@ -8,14 +8,18 @@
   d deterministic hyperplanes → candidates share a bucket → exact
   rerank inside buckets. The scale path: the scan prunes to one bucket
   (partition-prunable if the table is written partitioned by bucket).
-- IVF-style variant: coarse centroids via seeded kmeans on a sample,
-  probe nearest cells — stubbed to LSH until a later round.
+- IVF ANN: coarse centroids from seeded Lloyd iterations over a
+  driver-bounded sample, cell assignment via a vectorized matmul
+  pandas UDF, query probes the n_probe nearest cells, exact rerank
+  inside. At scale the cell id is the partition key.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
 
 
 def _cos_against(vec: list[float], col="v"):
@@ -59,6 +63,68 @@ def with_lsh_bucket(
         dot = F.aggregate(F.zip_with(v, h, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
         bucket = bucket + F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
     return emb.withColumn("lsh_bucket", bucket)
+
+
+def ivf_train(
+    emb: DataFrame, n_cells: int = 16, sample_rows: int = 4096,
+    iters: int = 10, seed: int = 42, vec_col: str = "embedding",
+) -> np.ndarray:
+    """Coarse IVF centroids: seeded Lloyd's kmeans over a bounded
+    sample. The ONLY driver-side materialization is the sample
+    (`sample_rows` vectors — constant, never corpus-sized); at 100 TB
+    you train on the same few-thousand-row sample. Returns
+    (n_cells, dim) float64 centroids (spherical: L2-normalized, so
+    nearest-centroid-by-dot == cosine cell assignment)."""
+    rows = emb.select(vec_col).limit(sample_rows).collect()
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cent = X[rng.choice(X.shape[0], size=n_cells, replace=False)]
+    for _ in range(iters):
+        assign = (X @ cent.T).argmax(axis=1)
+        for c in range(n_cells):
+            m = X[assign == c]
+            if m.size:
+                cent[c] = m.mean(axis=0)
+        cent = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    return cent
+
+
+def with_ivf_cell(
+    emb: DataFrame, centroids: np.ndarray, vec_col: str = "embedding"
+) -> DataFrame:
+    """Add the IVF cell id (argmax cosine vs centroids) — one
+    vectorized matmul per Arrow batch. At scale, write the table
+    partitioned by this column so probes become partition pruning."""
+    cent = np.ascontiguousarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf(T.IntegerType())
+    def cell(vs: pd.Series) -> pd.Series:
+        X = np.array(list(vs), dtype=np.float64)
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        return pd.Series((X @ cent.T).argmax(axis=1).astype(np.int32), index=vs.index)
+
+    return emb.withColumn("ivf_cell", cell(F.col(vec_col)))
+
+
+def ivf_ann_topk(
+    emb: DataFrame, query_vec: list[float], centroids: np.ndarray,
+    k: int = 10, n_probe: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: probe the n_probe cells whose centroids
+    are nearest the query, exact cosine rerank inside. n_probe =
+    n_cells degenerates to exact brute force (recall sanity anchor)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    order = np.argsort(-(centroids @ qn))
+    probes = [int(c) for c in order[:n_probe]]
+    cand = with_ivf_cell(emb, centroids, vec_col).filter(
+        F.col("ivf_cell").isin(probes)
+    )
+    e = cand.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    scored = e.select(F.col(id_col), F.round(_cos_against(query_vec), 6).alias("cosine"))
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
 
 
 def lsh_ann_topk(

@@ -115,6 +115,50 @@ def continuous_query(
     return stream_df, cur
 
 
+def streaming_dedup(
+    src: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Stateful cross-batch exact dedup over an unbounded ingest stream
+    — a custom stateful operator via ``applyInPandasWithState`` (the
+    brief's scale path for stateful stream transforms; the reference
+    has no streaming state at all).
+
+    Keyed by md5(normalized text): the first-ever occurrence of each
+    content hash is emitted (min id within the batch wins, matching
+    batch ``exact_dedup``'s deterministic survivor), every later
+    occurrence — same batch or any later micro-batch — is suppressed
+    by per-key GroupState. State is 1 boolean per distinct content
+    hash, partitioned by the state store exactly like the batch
+    hash-groupBy shuffle."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    hashed = src.withColumn(
+        "content_hash",
+        F.md5(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")),
+    ).select("content_hash", F.col(id_col).alias("keep_id"))
+
+    def emit_first(key, pdfs, state: GroupState):
+        if not state.exists:
+            best = None
+            for pdf in pdfs:
+                m = int(pdf["keep_id"].min())
+                best = m if best is None else min(best, m)
+            state.update((True,))
+            yield pd.DataFrame({"content_hash": [key[0]], "keep_id": [best]})
+        else:
+            for _ in pdfs:  # drain the iterator; nothing to emit
+                pass
+
+    return hashed.groupBy("content_hash").applyInPandasWithState(
+        emit_first,
+        outputStructType="content_hash string, keep_id long",
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def windowed_ingest_stats(
     spark: SparkSession, stream_dir: str, schema,
     ts_col: str = "warc_ts", window: str = "1 minute", watermark: str = "5 minutes",
