@@ -228,3 +228,49 @@ def test_icu_collated_sort_divergent_inputs(spark, work_dir):
     assert got == ["Apple", "apple", "Ärger", "Banana", "zebra"]
     binary = [r.lang for r in search(cat, A.all_docs(), sort=[("lang", "asc")]).collect()]
     assert binary == ["Apple", "Banana", "apple", "zebra", "Ärger"]
+
+
+def test_multivalue_field(spark, work_dir):
+    """FieldValues (array-valued field): per-element analysis with
+    concatenated token streams (reference array termizer,
+    base-inverted-index.ts:186-196)."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from yaii_spark.analyzer import make_multivalue_analyzer
+    from yaii_spark.queries import ast as A
+    from yaii_spark.queries.executor import execute_boolean
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("tags", T.ArrayType(T.StringType())),
+        ]
+    )
+    rows = [
+        (0, "body zero", ["Red Fox", "quick"]),
+        (1, "body one", ["lazy dog"]),
+        (2, "body two", None),
+        (3, "body three", ["red", "fox"]),
+    ]
+    pages = spark.createDataFrame(rows, schema)
+    _, mv_udf = make_multivalue_analyzer()
+    idx = f"{work_dir}/mv_idx"
+    build_index(
+        spark, pages, idx, seg_size=2,
+        fields={
+            "text": ("text", "standard"),
+            "_all": ("text", "all"),
+            "tags": ("tags", mv_udf),
+        },
+    )
+    cat = IndexCatalog(spark, idx)
+    got = lambda q: {r.doc_id for r in execute_boolean(cat, q).collect()}
+    assert got(A.token("fox", "tags")) == {0, 3}
+    assert got(A.token("quick", "tags")) == {0}
+    assert got(A.and_(A.token("red", "tags"), A.token("dog", "tags"))) == set()
+    # concatenated stream: phrase across an element boundary matches
+    # for doc 3 (["red", "fox"] → positions 0,1) — documented semantics
+    assert got(A.phrase(["red", "fox"], "tags")) == {0, 3}

@@ -325,6 +325,37 @@ def make_rule_tokenizer(rules: list[tuple[str, str, bool]]):
     return fn, F.pandas_udf(_series, T.ArrayType(T.StringType()))
 
 
+def make_multivalue_analyzer(per_value_fn=tokenize):
+    """Multi-valued field support (yaii FieldValues): analyze each
+    array element and CONCATENATE the token streams in array order —
+    exactly the reference's array termizer
+    (/root/reference/src/base-inverted-index.ts:186-196). Positions in
+    our engine continue across elements (the reference stores no
+    positions, so concatenation is the only observable semantics; a
+    phrase can therefore match across an element boundary — documented
+    behavior, matching how the reference's term stream would read).
+
+    Returns (pure_fn, pandas_udf); plug the udf into build_index's
+    fields map as a callable analyzer over an array<string> column.
+    Scalar strings are accepted too (single-element semantics)."""
+
+    def fn(values) -> List[str] | None:
+        if values is None:
+            return None
+        if isinstance(values, str):
+            return per_value_fn(values)
+        out: List[str] = []
+        for v in values:
+            if v is not None:
+                out.extend(per_value_fn(v))
+        return out
+
+    def _series(s: pd.Series) -> pd.Series:
+        return pd.Series([fn(x) for x in s], index=s.index, dtype=object)
+
+    return fn, F.pandas_udf(_series, T.ArrayType(T.StringType()))
+
+
 def with_tokens(df, text_col: str = "text", out_col: str = "tokens"):
     """Add a token-array column (searchable-field chain, stopwords kept)."""
     return df.withColumn(out_col, tokenize_udf(F.col(text_col)))
