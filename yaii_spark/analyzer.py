@@ -226,16 +226,30 @@ def doc_postings(text: str, n_shards: int, specs: list[tuple[int, str]]):
             buf = bufs.get(sh)
             if buf is None:
                 buf = bufs[sh] = bytearray()
-            _venc_into(buf, fid)
-            _venc_into(buf, len(tb))
-            buf += tb
-            _venc_into(buf, len(pos))
-            pb = bytearray()
+            # position deltas: the common all-below-128 case is a
+            # single C-level bytes() conversion, not a per-value loop
             prev = 0
+            deltas = []
+            big = False
             for p in pos:
-                _venc_into(pb, p - prev)
+                d = p - prev
+                if d >= 0x80:
+                    big = True
+                deltas.append(d)
                 prev = p
-            _venc_into(buf, len(pb))
+            if big:
+                pb = bytearray()
+                for d in deltas:
+                    _venc_into(pb, d)
+                pb = bytes(pb)
+            else:
+                pb = bytes(deltas)
+            # header values are almost always single-byte varints
+            for v in (fid, len(tb)):
+                buf.append(v) if v < 0x80 else _venc_into(buf, v)
+            buf += tb
+            for v in (len(pos), len(pb)):
+                buf.append(v) if v < 0x80 else _venc_into(buf, v)
             buf += pb
     return dl, bufs
 

@@ -142,12 +142,25 @@ def _make_packed_encoder(field_names: list[str], avgdl: float, k1: float, b: flo
             off = 0
             n = len(data)
             while off < n:
-                fid, off = varint_read(data, off)
-                tl, off = varint_read(data, off)
+                # header varints are single-byte in the common case
+                fid = data[off]
+                off += 1
+                if fid >= 0x80:
+                    fid, off = varint_read(data, off - 1)
+                tl = data[off]
+                off += 1
+                if tl >= 0x80:
+                    tl, off = varint_read(data, off - 1)
                 term = data[off : off + tl]
                 off += tl
-                tf, off = varint_read(data, off)
-                pl, off = varint_read(data, off)
+                tf = data[off]
+                off += 1
+                if tf >= 0x80:
+                    tf, off = varint_read(data, off - 1)
+                pl = data[off]
+                off += 1
+                if pl >= 0x80:
+                    pl, off = varint_read(data, off - 1)
                 pos = data[off : off + pl]
                 off += pl
                 e = acc.get((fid, term))
