@@ -112,3 +112,25 @@ def test_rebuild_resume_false_removes_stale(spark, work_dir):
     assert {r.seg_id for r in cat.seg_meta().collect()} == {0, 1}
     assert _postings_snapshot(spark, idx) == _postings_snapshot(spark, clean)
     assert cat.term_stats_for([("text", "the")]) == ref.term_stats_for([("text", "the")])
+
+
+def test_mass_delete_cogrouped_tombstones(spark, work_dir):
+    """Tombstones at 50% of the corpus flow through the cogroup path
+    (never a collected array/broadcast) and stay correct on boolean,
+    NOT, and both BM25 paths."""
+    out = f"{work_dir}/massdel_idx"
+    pages = gen_pages(spark, 3000, include_fixtures=False)
+    build_index(spark, pages, out, seg_size=1024)
+    cat = IndexCatalog(spark, out)
+    evens = list(range(0, 3000, 2))
+    delete_docs(spark, out, evens)
+    assert index_size(cat) == 1500
+    live = ids(execute_boolean(cat, A.all_docs()))
+    assert live == set(range(1, 3000, 2))
+    # boolean + NOT respect mass tombstones
+    got = ids(execute_boolean(cat, A.not_(A.token("zzznope"))))
+    assert got == live
+    # BM25 exact and pruned never surface a deleted doc
+    for prune in (False, True):
+        top = bm25_topk(cat, ["hotterm", "the", "a"], k=50, prune=prune).collect()
+        assert all(r.doc_id % 2 == 1 for r in top)

@@ -215,25 +215,36 @@ def bm25_topk(
     meta = cat.seg_meta().select("seg_id", "n_docs", "base_doc_id", "dl_bin")
     joined = post.join(meta, "seg_id", "inner")
     tomb = cat.tombstones()
-    if tomb is not None:
-        tomb_arr = tomb.groupBy("seg_id").agg(F.collect_list("doc_id").alias("_deleted"))
-        joined = joined.join(F.broadcast(tomb_arr), "seg_id", "left")
-    has_tomb = tomb is not None
     k1, b, avgdl = stats.k1, stats.b, stats.avgdl
     # block size travels with the index (corpus_stats.block_size): the
     # bound is only rank-safe when it matches what the writer used
     block = stats.block_size
     use_prune = prune and mode == "or"
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        deleted = None
-        if has_tomb:
-            d = pdf["_deleted"].iloc[0]
-            if d is not None and len(d):
-                deleted = np.asarray(d, dtype=np.int64)
+    def score(pdf: pd.DataFrame, deleted: np.ndarray | None) -> pd.DataFrame:
+        if pdf.empty:
+            return _EMPTY()
         if use_prune:
             return _score_segment_pruned(pdf, idfs, k1, b, avgdl, k, block, deleted)
         return _score_segment(pdf, idfs, k1, b, avgdl, k, mode, deleted)
 
-    per_seg = joined.groupBy("seg_id").applyInPandas(fn, schema="doc_id long, score double")
+    if tomb is None:
+
+        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            return score(pdf, None)
+
+        per_seg = joined.groupBy("seg_id").applyInPandas(fn, schema="doc_id long, score double")
+    else:
+        # cogrouped tombstones: shuffle-partitioned per segment, never a
+        # collected array row / driver broadcast (scale: a segment can
+        # hold millions of deletes)
+        def fn2(pdf: pd.DataFrame, tpdf: pd.DataFrame) -> pd.DataFrame:
+            deleted = tpdf["doc_id"].to_numpy(dtype=np.int64) if len(tpdf) else None
+            return score(pdf, deleted)
+
+        per_seg = (
+            joined.groupBy("seg_id")
+            .cogroup(tomb.select("seg_id", "doc_id").groupBy("seg_id"))
+            .applyInPandas(fn2, schema="doc_id long, score double")
+        )
     return per_seg.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)

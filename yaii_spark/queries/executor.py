@@ -206,17 +206,11 @@ def _eval_token_tree(cat: IndexCatalog, node: A.Node) -> DataFrame:
         if not terms and not scans:
             return _empty_ids(spark)
         joined = post.join(meta, "seg_id", "inner")
-    tomb = cat.tombstones()
-    if tomb is not None:
-        tomb_arr = tomb.groupBy("seg_id").agg(
-            F.collect_list("doc_id").alias("_deleted")
-        )
-        joined = joined.join(F.broadcast(tomb_arr), "seg_id", "left")
-    has_tomb = tomb is not None
-
-    def eval_segment(pdf: pd.DataFrame):
+    def _eval(pdf: pd.DataFrame, deleted: np.ndarray | None) -> pd.DataFrame:
         from yaii_spark.codec import decode_positions, varint_decode
 
+        if pdf.empty:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
         n_docs = int(pdf["n_docs"].iloc[0])
         base = int(pdf["base_doc_id"].iloc[0])
         postings = {
@@ -235,14 +229,30 @@ def _eval_token_tree(cat: IndexCatalog, node: A.Node) -> DataFrame:
                 tfs = varint_decode(tb).astype(np.int64)
                 pos_map[(f, t)] = (postings[(f, t)], decode_positions(pb, tfs))
         ids = _eval_numpy(node, postings, n_docs, pos_map)
-        if has_tomb:
-            deleted = pdf["_deleted"].iloc[0]
-            if deleted is not None and len(deleted):
-                dele = np.asarray(deleted, dtype=np.int64) - base
-                ids = np.setdiff1d(ids, dele, assume_unique=True)
+        if deleted is not None and deleted.size:
+            ids = np.setdiff1d(ids, np.sort(deleted) - base, assume_unique=False)
         return pd.DataFrame({"doc_id": ids + base})
 
-    return joined.groupBy("seg_id").applyInPandas(eval_segment, schema="doc_id long")
+    tomb = cat.tombstones()
+    if tomb is None:
+
+        def eval_segment(pdf: pd.DataFrame):
+            return _eval(pdf, None)
+
+        return joined.groupBy("seg_id").applyInPandas(eval_segment, schema="doc_id long")
+
+    # tombstones arrive COGROUPED per segment — shuffle-partitioned like
+    # any other table, never collected into one array row or broadcast
+    # (a segment with millions of deletes would blow both; VERDICT r1)
+    def eval_segment_tomb(pdf: pd.DataFrame, tpdf: pd.DataFrame):
+        deleted = tpdf["doc_id"].to_numpy(dtype=np.int64) if len(tpdf) else None
+        return _eval(pdf, deleted)
+
+    return (
+        joined.groupBy("seg_id")
+        .cogroup(tomb.select("seg_id", "doc_id").groupBy("seg_id"))
+        .applyInPandas(eval_segment_tomb, schema="doc_id long")
+    )
 
 
 # ---------------------------------------------------------------------------
