@@ -1,13 +1,21 @@
 """Distributed inverted-index build (SURVEY.md §7.1 M3).
 
-Dataflow (one DataFrame lineage; node boundaries at the two groupBy
-shuffles and the parquet/Iceberg commit):
+Dataflow (one DataFrame lineage; ONE wide shuffle for the default
+fields, then the parquet/Iceberg commit):
 
-    pages ──tokenize(pandas UDF)──► docs(+dl)
-          ──posexplode──► (seg_id, doc_id, term, pos)
-          ──groupBy(seg_id, term, doc_id)──► tf + sorted positions   [shuffle 1]
-          ──groupBy(seg_id, term)──► sorted plist → delta+varint     [shuffle 2]
-          ──write postings partitioned by seg_id, sorted by term
+    pages ──tokenize+invert (pandas UDF)──► per-doc packed posting
+          blobs, one per term-hash shard (analyzer.doc_postings —
+          LEB128-framed entries; the per-doc combine happens INSIDE the
+          UDF, like Lucene's inverter, and the blob layout avoids the
+          Arrow nested-struct conversion that measured ~95% of the
+          tokenize stage)
+          ──explode ~shards rows/doc──► (seg_id, doc_id, dl, shard, data)
+          ──groupBy(seg_id, shard)──► decode frames, concat runs,
+          delta+varint posting rows                           [shuffle]
+          ──write postings partitioned by seg_id, sorted by (field, term)
+
+    (custom-analyzer fields take a posexplode → groupBy(doc) →
+    groupBy(seg, shard) side path and union before the write)
 
 Scale design decisions (the 100 TB story):
 
@@ -16,11 +24,16 @@ Scale design decisions (the 100 TB story):
   ("the" in 40% of 10^12 docs) produces ≤1M-entry groups per segment —
   the segment axis IS the salt, and it needs no second merge pass
   because BM25/boolean evaluation is segment-local by construction
-  (same reason Lucene shards). groupBy #1 keys on (seg, term, doc) —
-  near-uniform. AQE skew handling stays on as a backstop.
-- **Map-side combine** is automatic in both hash aggregations
-  (partial/final split ≙ the reference's accumulator/merger pattern,
-  /root/reference/src/base-inverted-index.ts:297-394).
+  (same reason Lucene shards). The shuffle keys on (seg, term-shard) —
+  near-uniform by construction. AQE skew handling stays on as a
+  backstop.
+- **Map-side combine** happens in the analyzer UDF itself (per-doc
+  term→tf/positions inversion ≙ the reference's accumulator/merger
+  pattern, /root/reference/src/base-inverted-index.ts:297-394).
+- **Concurrent commits.** The docs / seg_meta / postings writes are
+  independent consumers of the persisted tokenized batch and are
+  submitted as concurrent Spark jobs (as are the lineage/stats tail
+  writes) — driver-side planning/commit latencies overlap.
 - **docID = seg_id * seg_size + local** (dense). Delta+varint then
   compresses to ~1-2 bytes/doc. At 10^12 docs: 10^6 segments × 2^20.
 - **Resumable:** per-segment checkpoint rows; re-running skips
