@@ -60,3 +60,54 @@ def test_varint_compresses_small_deltas():
     ids = np.arange(0, 100000, 3, dtype=np.uint64)
     enc = delta_encode(ids)
     assert len(enc) < ids.size * 1.1  # ~1 byte per docID for dense lists
+
+
+# -- packed per-doc posting frames (analyzer.doc_postings) -------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=200))
+def test_doc_postings_roundtrip(text):
+    """Pack → parse == the straightforward per-field inversion, for any
+    text (including exotic whitespace/unicode and empty input)."""
+    from yaii_spark.analyzer import (
+        STOPWORDS, doc_postings, tokenize, varint_read,
+    )
+
+    specs = [(0, "all"), (1, "standard")]
+    dl, bufs = doc_postings(text, 4, specs)
+    toks = tokenize(text)
+    assert dl == len(toks)
+
+    got = {}
+    for sh, data in bufs.items():
+        off = 0
+        while off < len(data):
+            fid, off = varint_read(data, off)
+            tl, off = varint_read(data, off)
+            term = bytes(data[off:off + tl]).decode("utf-8"); off += tl
+            tf, off = varint_read(data, off)
+            pl, off = varint_read(data, off)
+            deltas = []
+            end = off + pl
+            while off < end:
+                d, off = varint_read(data, off)
+                deltas.append(d)
+            pos = []
+            acc = 0
+            for d in deltas:
+                acc += d
+                pos.append(acc)
+            assert len(pos) == tf
+            assert (fid, term) not in got  # each (field, term) framed once
+            got[(fid, term)] = pos
+
+    want = {}
+    for fid, kind in specs:
+        stream = toks if kind == "standard" else [t for t in toks if t not in STOPWORDS]
+        for i, tk in enumerate(stream):
+            want.setdefault((fid, tk), []).append(i)
+    assert got == want
