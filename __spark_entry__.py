@@ -1,9 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 Thin wrapper over yaii_spark.entrypoint — the PySpark-native
-inverted-index + BM25 engine (see SURVEY.md). Each queries() entry has
-a matching oracle_sql() DuckDB statement (except q_simhash, whose
-xxhash64 hashing is Spark-side only → rows-only check).
+inverted-index + BM25 engine (see SURVEY.md). All 44 queries() entries
+have a matching oracle_sql() DuckDB statement (since round 2 this
+includes q_simhash — md5-family bit-sign sums restated in SQL — and
+q_ann_lsh, whose hyperplane constants are embedded as SQL literals).
 """
 
 from __future__ import annotations
