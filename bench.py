@@ -120,7 +120,11 @@ def main() -> None:
                     "unit": "sec",
                     "queries": latencies,
                     "sf": sf,
-                    "cpus": CPUS,
+                    # "cpus" is the level the run ACTUALLY used (the
+                    # honest cap); the env request rides separately so
+                    # no consumer misattributes parallelism
+                    "cpus": USED_CPUS,
+                    "cpus_requested": CPUS,
                     "cpus_used": USED_CPUS,
                     "query_p50_sec": p50,
                     "build": build,

@@ -68,18 +68,27 @@ def test_iceberg_branch(spark, work_dir):
 
 def test_no_raw_parquet_io_outside_seam():
     """Every index/table read+write in the package goes through the
-    seam; raw spark.read.parquet lives only in storage.py (the seam's
-    own parquet branch). Streaming's readStream.parquet is the
-    Structured Streaming source API (format-specific by nature) and is
-    documented as such."""
+    seam; raw parquet IO lives only in storage.py (the seam's own
+    parquet branch). Checked PER LINE with regexes so a raw
+    df.write.parquet / reader-variable read can't hide behind an
+    unrelated 'readStream' elsewhere in the file; only lines that are
+    themselves Structured Streaming source calls (readStream — a
+    format-specific API by nature) are exempt."""
+    import re
+
     root = os.path.join(os.path.dirname(__file__), "..", "yaii_spark")
+    write_re = re.compile(r"\.write\b.*\.parquet\(|\.write\.parquet\(")
+    read_re = re.compile(r"\bread\b.*\.parquet\(|\.read\.parquet\(")
     offenders = []
     for path in glob.glob(f"{root}/**/*.py", recursive=True):
         if os.path.basename(path) == "storage.py":
             continue
-        src = open(path).read()
-        if "read.parquet(" in src.replace("readStream.schema", "") and "spark.read.parquet" in src:
-            offenders.append(os.path.basename(path))
-        if ".write." in src and ".parquet(" in src and "readStream" not in src:
-            offenders.append(os.path.basename(path) + " (write)")
+        for i, line in enumerate(open(path).read().splitlines(), 1):
+            code = line.split("#")[0]
+            if "readStream" in code:
+                continue
+            if write_re.search(code):
+                offenders.append(f"{os.path.basename(path)}:{i} (write)")
+            if read_re.search(code):
+                offenders.append(f"{os.path.basename(path)}:{i} (read)")
     assert offenders == [], offenders

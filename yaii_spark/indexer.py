@@ -53,7 +53,6 @@ from __future__ import annotations
 
 import math
 import os
-import shutil
 import time
 
 import numpy as np
@@ -67,7 +66,7 @@ from yaii_spark.analyzer import (
     varint_read,
 )
 from yaii_spark.codec import delta_encode, encode_positions, varint_encode
-from yaii_spark.storage import read_table, write_table
+from yaii_spark.storage import fs_delete, fs_exists, read_table, write_table
 
 DEFAULT_K1 = 1.2  # Lucene/ES defaults — yaii's stated design base
 DEFAULT_B = 0.75
@@ -273,14 +272,15 @@ def build_index(
     # stale partitions: dynamic overwrite only replaces seg_ids present
     # in the NEW input, and term_stats is then recomputed from ALL
     # on-disk postings (old ∪ new) — silent stats corruption. Drop the
-    # directory first (on a cluster FS this is the same recursive
-    # delete an Iceberg REPLACE TABLE performs).
-    if not resume and os.path.exists(out_dir):
-        shutil.rmtree(out_dir)
+    # directory first, through the storage seam's Hadoop FileSystem API
+    # so the delete is real on cluster/object-store paths too (the same
+    # recursive drop an Iceberg REPLACE TABLE performs).
+    if not resume and fs_exists(spark, out_dir):
+        fs_delete(spark, out_dir)
     # dynamic partition overwrite (stage+move per partition dir) only
     # pays off when overwriting a partially-built index; fresh builds
     # use the cheap static path
-    overwrite_mode = "dynamic" if os.path.exists(os.path.join(out_dir, "postings")) else "static"
+    overwrite_mode = "dynamic" if fs_exists(spark, os.path.join(out_dir, "postings")) else "static"
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", overwrite_mode)
     if fields is None:
         fields = {"text": (text_col, "standard"), "_all": (text_col, "all")}
@@ -338,7 +338,7 @@ def build_index(
     # ---- resume: skip segments already checkpointed ----
     ckpt_path = os.path.join(out_dir, "checkpoints")
     done: set[int] = set()
-    if resume and os.path.exists(ckpt_path):
+    if resume and fs_exists(spark, ckpt_path):
         try:
             done = {
                 r.seg_id
@@ -488,7 +488,7 @@ def build_index(
                 F.lit("done").alias("status"),
             )
         )
-        ck_mode = "append" if (resume and os.path.exists(ckpt_path)) else "overwrite"
+        ck_mode = "append" if (resume and fs_exists(spark, ckpt_path)) else "overwrite"
     else:
         ck = None
         post_all = read_table(spark, os.path.join(out_dir, "postings"))
@@ -518,23 +518,27 @@ def build_index(
         [(n_total, avgdl, float(k1), float(b), int(seg_size), BLOCK_SIZE)],
         "n_docs long, avgdl double, k1 double, b double, seg_size long, block_size long",
     )
-    # lineage (ck), term_stats and corpus_stats are mutually independent
-    # (ck + term_stats share the cached post_all; concurrent computes of
-    # the same cached blocks are block-manager-serialized) — overlap them
+    # lineage (ck) and term_stats are independent (they share the cached
+    # post_all; concurrent computes of the same cached blocks are
+    # block-manager-serialized) — overlap them. corpus_stats is the
+    # index-completeness COMMIT MARKER (IndexCatalog.exists checks it),
+    # so it is written strictly AFTER both futures resolve: a failed
+    # term_stats/lineage write must never leave an index that reports
+    # complete (readers would silently prune every term to empty).
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=3) as pool:
+    with ThreadPoolExecutor(max_workers=2) as pool:
         futs = [
             pool.submit(
                 write_table, ts_df, os.path.join(out_dir, "term_stats"),
                 partition_by=["bucket"],
             ),
-            pool.submit(write_table, cs_df, os.path.join(out_dir, "corpus_stats")),
         ]
         if ck is not None:
             futs.append(pool.submit(write_table, ck, ckpt_path, mode=ck_mode))
         for f in futs:
             f.result()
+    write_table(cs_df, os.path.join(out_dir, "corpus_stats"))
     if pending:
         post_all.unpersist()
 
@@ -554,7 +558,7 @@ def delete_docs(spark: SparkSession, index_dir: str, doc_ids: list[int]) -> int:
     rows = [(int(d) // seg_size, int(d)) for d in sorted(set(doc_ids))]
     df = spark.createDataFrame(rows, "seg_id long, doc_id long")
     path = os.path.join(index_dir, "tombstones")
-    mode = "append" if os.path.exists(path) else "overwrite"
+    mode = "append" if fs_exists(spark, path) else "overwrite"
     write_table(df, path, mode=mode)
     return len(rows)
 
@@ -726,7 +730,7 @@ def merge_segments(
     )
     write_table(ck, os.path.join(out_dir, "checkpoints"))
     tomb = os.path.join(index_dir, "tombstones")
-    if os.path.exists(tomb):
+    if fs_exists(spark, tomb):
         write_table(
             read_table(spark, tomb).withColumn(
                 "seg_id", (F.col("seg_id") / factor).cast("long")

@@ -68,14 +68,19 @@ def with_lsh_bucket(
 def ivf_train(
     emb: DataFrame, n_cells: int = 16, sample_rows: int = 4096,
     iters: int = 10, seed: int = 42, vec_col: str = "embedding",
+    id_col: str = "vec_id",
 ) -> np.ndarray:
     """Coarse IVF centroids: seeded Lloyd's kmeans over a bounded
     sample. The ONLY driver-side materialization is the sample
     (`sample_rows` vectors — constant, never corpus-sized); at 100 TB
-    you train on the same few-thousand-row sample. Returns
-    (n_cells, dim) float64 centroids (spherical: L2-normalized, so
-    nearest-centroid-by-dot == cosine cell assignment)."""
-    rows = emb.select(vec_col).limit(sample_rows).collect()
+    you train on the same few-thousand-row sample. The sample is
+    DETERMINISTIC: orderBy(id_col).limit — a bare limit() depends on
+    partition layout/scan order, so centroids (and therefore cell
+    assignment/recall) would differ across runs and cluster configs
+    despite the fixed RNG seed. Returns (n_cells, dim) float64
+    centroids (spherical: L2-normalized, so nearest-centroid-by-dot ==
+    cosine cell assignment)."""
+    rows = emb.select(id_col, vec_col).orderBy(id_col).limit(sample_rows).drop(id_col).collect()
     X = np.array([r[0] for r in rows], dtype=np.float64)
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)

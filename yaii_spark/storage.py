@@ -61,6 +61,31 @@ def term_stats_bucket(field: str, term: str) -> int:
     return h % TERM_STATS_BUCKETS
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+
+
+def fs_exists(spark: SparkSession, path: str) -> bool:
+    """Existence check through the Hadoop FileSystem API — works on
+    local disk, HDFS and object stores alike (os.path.exists only sees
+    the driver-local filesystem, which on a cluster deployment would
+    silently report every remote path as absent)."""
+    fs, p = _hadoop_fs(spark, path)
+    return bool(fs.exists(p))
+
+
+def fs_delete(spark: SparkSession, path: str) -> bool:
+    """Recursive delete through the Hadoop FileSystem API (the
+    direct-path analogue of an Iceberg REPLACE TABLE drop; shutil.rmtree
+    would no-op on cluster/object-store paths and leave stale
+    partitions behind — exactly the term_stats corruption resume=False
+    exists to prevent)."""
+    fs, p = _hadoop_fs(spark, path)
+    return bool(fs.delete(p, True))
+
+
 def iceberg_format(spark: SparkSession) -> str | None:
     """Return 'iceberg' when the catalog is configured, else None."""
     try:
@@ -122,7 +147,15 @@ class IndexCatalog:
         return os.path.join(self.root, table)
 
     def exists(self) -> bool:
-        return os.path.exists(os.path.join(self.path("corpus_stats"), "_SUCCESS"))
+        # corpus_stats is the build's commit marker: build_index writes
+        # it strictly after every other table is durable, so its
+        # _SUCCESS (parquet) / table metadata (Iceberg) implies a
+        # complete index
+        if iceberg_format(self.spark):
+            return fs_exists(self.spark, self.path("corpus_stats"))
+        return fs_exists(
+            self.spark, os.path.join(self.path("corpus_stats"), "_SUCCESS")
+        )
 
     def corpus_stats(self) -> CorpusStats:
         row = read_table(self.spark, self.path("corpus_stats")).collect()[0]
@@ -192,7 +225,7 @@ class IndexCatalog:
         (mutable-segment.ts:27,191-197); at Iceberg scale these become
         positional delete files — same shape."""
         p = self.path("tombstones")
-        if not os.path.exists(p):
+        if not fs_exists(self.spark, p):
             return None
         return read_table(self.spark, p)
 
