@@ -97,6 +97,63 @@ def test_bm25_deterministic_across_parallelism(corpus, spark):
     assert a == b
 
 
+def test_lazy_block_decode_skips_blocks(spark, work_dir):
+    """v4 lazy MaxScore: a rare+stopword-grade query on a skewed corpus
+    must (a) return byte-identical results to the dense path and (b)
+    decode strictly fewer posting blocks/bytes than exist — the hot
+    term's non-candidate blocks are never touched (VERDICT r2 #5)."""
+    import numpy as np
+
+    from yaii_spark.queries import bm25 as B
+
+    from pyspark.sql import functions as F
+
+    # plant a df=3 rare term in three far-apart docs of a skewed corpus
+    rare = "zzrareterm"
+    pages = gen_pages(spark, 4000, hot_fraction=0.4, include_fixtures=False)
+    pages = pages.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id").isin(10, 2000, 3999),
+            F.concat(F.col("text"), F.lit(f" {rare}")),
+        ).otherwise(F.col("text")),
+    )
+    idx = f"{work_dir}/lazy_idx"
+    build_index(spark, pages, idx, seg_size=4096)  # one segment, many blocks
+    cat = IndexCatalog(spark, idx)
+    stats = cat.corpus_stats()
+    hot_df = cat.term_stats_for([("text", "hotterm")])[("text", "hotterm")][0]
+    assert hot_df > 1000  # skew is real: ~40% of 4000 docs
+
+    # assemble the per-segment pdf exactly as the cogroup hands it over
+    post = cat.postings([("text", rare), ("text", "hotterm")]).toPandas()
+    meta = cat.seg_meta().collect()[0]
+    pdf = post.assign(
+        n_docs=meta.n_docs, base_doc_id=meta.base_doc_id, dl_bin=meta.dl_bin
+    )
+    idfs = {
+        t: B.idf(stats.n_docs, df)
+        for (_, t), (df, _) in cat.term_stats_for(
+            [("text", rare), ("text", "hotterm")]
+        ).items()
+    }
+
+    B.reset_decode_stats()
+    pruned = B._score_segment_pruned(
+        pdf, idfs, stats.k1, stats.b, stats.avgdl, k=3, block=stats.block_size
+    )
+    assert B.DECODE_STATS["blocks_total"] > 10  # hot term spans many blocks
+    assert B.DECODE_STATS["blocks_decoded"] < B.DECODE_STATS["blocks_total"]
+    assert B.DECODE_STATS["bytes_decoded"] < B.DECODE_STATS["bytes_total"]
+
+    exact = B._score_segment(
+        pdf, idfs, stats.k1, stats.b, stats.avgdl, k=3, mode="or",
+        block=stats.block_size,
+    )
+    assert list(pruned["doc_id"]) == list(exact["doc_id"])
+    assert np.allclose(pruned["score"], exact["score"], rtol=0, atol=0)
+
+
 def test_bm25_pruned_equals_exact(corpus):
     """MaxScore/block-max pruning is rank-safe AND byte-identical
     (winners are rescored in sorted-term order)."""

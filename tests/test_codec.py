@@ -56,6 +56,40 @@ def test_positions_roundtrip_prop(poslists):
         assert (got == np.array(want, dtype=np.uint64)).all()
 
 
+@settings(max_examples=200, deadline=None)
+@given(
+    st.sets(st.integers(min_value=0, max_value=2**62), max_size=300),
+    st.integers(min_value=1, max_value=40),
+)
+def test_blocked_delta_roundtrip_prop(ids, block):
+    """v4 blocked layout: full decode round-trips for any block size,
+    offsets point at real restart boundaries, and every single block
+    decodes independently to exactly its slice."""
+    from yaii_spark.codec import (
+        delta_decode_blocked,
+        delta_encode_blocked,
+        varint_encode_blocked,
+    )
+
+    a = np.array(sorted(ids), dtype=np.uint64)
+    buf, offs = delta_encode_blocked(a, block)
+    assert (delta_decode_blocked(buf, block) == a).all()
+    assert len(offs) == (a.size + block - 1) // block if a.size else len(offs) == 0
+    for bx in range(len(offs)):
+        lo = int(offs[bx])
+        hi = int(offs[bx + 1]) if bx + 1 < len(offs) else len(buf)
+        got = delta_decode_blocked(buf[lo:hi], block)
+        assert (got == a[bx * block : (bx + 1) * block]).all()
+    # tf stream: per-entry varints with the same offset contract
+    tfs = (a % 7 + 1).astype(np.uint64)
+    tbuf, toffs = varint_encode_blocked(tfs, block)
+    assert (varint_decode(tbuf) == tfs).all()
+    for bx in range(len(toffs)):
+        lo = int(toffs[bx])
+        hi = int(toffs[bx + 1]) if bx + 1 < len(toffs) else len(tbuf)
+        assert (varint_decode(tbuf[lo:hi]) == tfs[bx * block : (bx + 1) * block]).all()
+
+
 def test_varint_compresses_small_deltas():
     ids = np.arange(0, 100000, 3, dtype=np.uint64)
     enc = delta_encode(ids)

@@ -137,21 +137,81 @@ def test_term_stats_bucketed_pushdown(spark, work_dir):
     assert 0 <= b < TERM_STATS_BUCKETS
 
 
-def test_no_giant_in_list_for_pending_segments(spark, work_dir):
-    """Build plans must not carry In(seg_id, [...]) literal lists —
-    pending-segment selection is a broadcast semi-join (scale: 10^6
-    pending segments would otherwise inline into the plan)."""
+def test_no_giant_in_list_for_pending_segments(spark, work_dir, monkeypatch):
+    """No physical plan the build executes may carry a literal
+    In(seg_id, [...]) / INSET list over the pending segments —
+    selection must be a broadcast semi-join (at 10^6 pending segments
+    an In-list would inline into the plan and evaluate O(n) per row).
+    Asserted on the CAPTURED PHYSICAL PLANS of every DataFrame the
+    build writes, not on source text."""
+    import re
+
+    import yaii_spark.indexer as ix
+
+    plans = []
+    real_write = ix.write_table
+
+    def capturing_write(df, path, **kw):
+        plans.append(
+            (path, df._jdf.queryExecution().executedPlan().toString())
+        )
+        return real_write(df, path, **kw)
+
+    monkeypatch.setattr(ix, "write_table", capturing_write)
     idx = f"{work_dir}/inlist_idx"
     pages = gen_pages(spark, 300, include_fixtures=False)
     build_index(spark, pages, idx, seg_size=10)  # 30 segments
-    # the final write plan is gone post hoc; assert the source invariant:
-    # pending selection is a semi-join, never an isin literal list
-    import inspect
-    import yaii_spark.indexer as ix
+    assert len(plans) >= 5  # docs, seg_meta, postings, term_stats, ck, stats
+    seg_in = re.compile(r"(?:In|INSET)\s*\(?\s*seg_id", re.IGNORECASE)
+    offenders = [
+        (path, m.group(0))
+        for path, plan in plans
+        for m in [seg_in.search(plan)]
+        if m
+    ]
+    assert offenders == [], offenders
+    # and the semi-join is actually there on the postings-side plan
+    post_plan = next(p for path, p in plans if path.endswith("postings"))
+    assert "LeftSemi" in post_plan or "left_semi" in post_plan.lower()
 
-    src = inspect.getsource(ix.build_index)
-    assert ".isin([int(s) for s in pending])" not in src
-    assert "left_semi" in src
+
+def test_timestamp_range_predicate(spark, work_dir):
+    """NumberRange over a TIMESTAMP attribute (the input_hint's warc_ts)
+    — Catalyst comparisons + pushdown work on timestamps exactly like
+    numerics, engine result == direct relational filter."""
+    import datetime as dt
+
+    from yaii_spark.queries import ast as A
+    from yaii_spark.queries.executor import execute_boolean
+
+    pages = gen_pages(spark, 150, include_fixtures=False)
+    idx = f"{work_dir}/ts_pred_idx"
+    build_index(spark, pages, idx, seg_size=64, stored_cols=["warc_ts"])
+    cat = IndexCatalog(spark, idx)
+
+    rows = sorted(r.warc_ts for r in pages.select("warc_ts").collect())
+    lo, hi = rows[30], rows[110]
+    want = {
+        r.doc_id
+        for r in pages.filter(
+            (F.col("warc_ts") >= lo) & (F.col("warc_ts") < hi)
+        ).collect()
+    }
+    got = {
+        r.doc_id
+        for r in execute_boolean(cat, A.number_range("warc_ts", lo, hi)).collect()
+    }
+    assert got == want and len(want) >= 50
+    # open-ended + inclusive upper variants
+    got_hi = {
+        r.doc_id
+        for r in execute_boolean(
+            cat, A.number_range("warc_ts", None, lo, hi_inclusive=True)
+        ).collect()
+    }
+    want_hi = {r.doc_id for r in pages.filter(F.col("warc_ts") <= lo).collect()}
+    assert got_hi == want_hi
+    assert isinstance(lo, dt.datetime)
 
 
 def test_custom_rule_field_indexes_and_queries(spark, work_dir):
@@ -274,3 +334,24 @@ def test_multivalue_field(spark, work_dir):
     # concatenated stream: phrase across an element boundary matches
     # for doc 3 (["red", "fox"] → positions 0,1) — documented semantics
     assert got(A.phrase(["red", "fox"], "tags")) == {0, 3}
+
+    # position_gap (Lucene positionIncrementGap analogue): the phrase
+    # can no longer straddle the element boundary — doc 3's cross-
+    # element match flips to no-match, doc 0's within-element match
+    # stays, and in-element positions are untouched
+    _, mv_gap = make_multivalue_analyzer(position_gap=2)
+    idx2 = f"{work_dir}/mv_gap_idx"
+    build_index(
+        spark, pages, idx2, seg_size=2,
+        fields={
+            "text": ("text", "standard"),
+            "_all": ("text", "all"),
+            "tags": ("tags", mv_gap),
+        },
+    )
+    cat2 = IndexCatalog(spark, idx2)
+    got2 = lambda q: {r.doc_id for r in execute_boolean(cat2, q).collect()}
+    assert got2(A.phrase(["red", "fox"], "tags")) == {0}
+    assert got2(A.phrase(["red", "fox"], "tags", slop=1)) == {0}  # slop < gap
+    assert got2(A.token("fox", "tags")) == {0, 3}  # tokens unaffected
+    assert got2(A.phrase(["lazy", "dog"], "tags")) == {1}  # in-element intact

@@ -255,35 +255,92 @@ def test_fast_hash_family_recall(spark, docs):
 
 
 def test_simhash_candidate_bound_with_length_banding(spark):
-    """The bare 16-bit chunk key grows candidates ≈ N²/65536; the
-    length-banded key must (a) cut candidate volume on a random corpus
-    and (b) keep true near-dup pairs that differ by < band_width tokens."""
+    """The DEFAULT call must be length-banded: at 50k docs the banded
+    candidate volume stays a small fraction of the bare-chunk opt-out's
+    N²/65536 growth, true near-dups (< band_width token delta) survive,
+    and the unbanded mode requires an explicit opt-out."""
+    import pytest
+
     from yaii_spark.synth import gen_pages
 
-    n = 10_000
-    pages = gen_pages(spark, n, include_fixtures=False).select(
-        "doc_id", "text", F.size(F.split("text", " ")).alias("n_tokens")
-    )
-    sh = simhash(pages, hash_family="fast").join(
-        pages.select("doc_id", "n_tokens"), "doc_id"
-    )
-    # count raw bucket collisions (pre-Hamming-filter volume == join work):
-    # compare the shuffled pair counts via max_hamming=64 (no filtering)
-    plain = simhash_candidates(sh, max_hamming=64).count()
-    banded = simhash_candidates(sh, max_hamming=64, len_col="n_tokens", band_width=4).count()
-    assert banded < plain / 3, (banded, plain)
+    # DEFAULT call at 50k docs: compare pre-filter candidate VOLUMES
+    # analytically (Σ C(bucket_size, 2) via groupBy-count — exactly the
+    # pair count the self-join would shuffle, computable without
+    # running the quadratic join itself). The default banded key must
+    # cut the volume sharply vs the bare-chunk opt-out. (On this Zipf
+    # synthetic corpus simhash chunks concentrate, so the absolute
+    # volume is corpus-bound — the guard is the RATIO, i.e. the key is
+    # never the bare chunk unless explicitly opted out.)
+    n = 50_000
+    pages = gen_pages(spark, n, include_fixtures=False).select("doc_id", "text")
+    sh = simhash(pages, hash_family="fast").cache()  # emits n_tokens itself
 
-    # a true near-dup (1-token edit) survives banding
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk_id"),
+                F.shiftright(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
+            )
+            for c in range(4)
+        ]
+    )
+
+    def pair_volume(df, banded: bool) -> int:
+        ch = df.select("simhash", "n_tokens", F.explode(chunks).alias("c")).select(
+            "c.chunk_id", "c.chunk", "n_tokens"
+        )
+        keys = ["chunk_id", "chunk"]
+        if banded:
+            base_band = F.floor(F.col("n_tokens") / 4).cast("long")
+            ch = ch.select(
+                "chunk_id", "chunk",
+                F.explode(F.array(base_band, base_band + 1)).alias("band"),
+            )
+            keys = ["chunk_id", "chunk", "band"]
+        return int(
+            ch.groupBy(*keys).count()
+            .agg(F.sum(F.col("count") * (F.col("count") - 1) / 2))
+            .collect()[0][0]
+        )
+
+    vol_banded = pair_volume(sh, banded=True)
+    vol_plain = pair_volume(sh, banded=False)
+    assert vol_banded < vol_plain / 3, (vol_banded, vol_plain)
+
+    # the default call actually runs banded end-to-end at 10k (results
+    # == explicit len_col call), and the quadratic opt-out is explicit
+    sh10 = simhash(
+        gen_pages(spark, 10_000, include_fixtures=False).select("doc_id", "text"),
+        hash_family="fast",
+    ).cache()
+    banded = simhash_candidates(sh10, max_hamming=64, band_width=4).count()
+    explicit = simhash_candidates(
+        sh10, max_hamming=64, len_col="n_tokens", band_width=4
+    ).count()
+    assert banded == explicit
+    plain = simhash_candidates(
+        sh10, max_hamming=64, len_col=None, allow_unbanded=True
+    ).count()
+    assert banded < plain / 3, (banded, plain)
+    sh10.unpersist()
+    sh.unpersist()
+
+    # unbanded without the explicit opt-out must refuse; so must a
+    # missing length column
+    with pytest.raises(ValueError, match="allow_unbanded"):
+        simhash_candidates(sh, len_col=None)
+    with pytest.raises(ValueError, match="len_col"):
+        simhash_candidates(sh.drop("n_tokens"))
+
+    # a true near-dup (1-token edit) survives banding (default call)
     row = pages.limit(1).collect()[0]
     dup_rows = [
-        (1, row.text, len(row.text.split())),
-        (2, row.text.replace(row.text.split()[0], "zzz", 1), len(row.text.split())),
+        (1, row.text),
+        (2, row.text.replace(row.text.split()[0], "zzz", 1)),
     ]
-    d = spark.createDataFrame(dup_rows, "doc_id long, text string, n_tokens long")
-    sh2 = simhash(d, hash_family="fast")
+    d = spark.createDataFrame(dup_rows, "doc_id long, text string")
     got = simhash_candidates(
-        sh2.join(d.select("doc_id", "n_tokens"), "doc_id"),
-        max_hamming=32, len_col="n_tokens", band_width=4,
+        simhash(d, hash_family="fast"), max_hamming=32, band_width=4
     ).collect()
     assert {(r.id_a, r.id_b) for r in got} == {(1, 2)}
 
@@ -321,6 +378,53 @@ def test_ivf_ann(spark, emb):
         v = np.array(r.embedding, dtype=np.float64)
         v = v / max(np.linalg.norm(v), 1e-12)
         assert int((cent @ v).argmax()) == r.ivf_cell
+
+
+def test_ann_index_partition_pruning(spark, emb, tmp_path):
+    """Materialized ANN tables (write_ann_index) must turn probe
+    filters into PARTITION PRUNING — the physical scan carries a
+    PartitionFilters entry on the bucket/cell column — and return
+    results identical to the on-the-fly signature path."""
+    import io
+    from contextlib import redirect_stdout
+
+    from yaii_spark.ops.similarity import (
+        ivf_ann_topk, ivf_train, lsh_ann_topk, read_ann_index, write_ann_index,
+    )
+
+    pool = emb.filter("vec_id > 0")
+    qv = [float(x) for x in emb.filter("vec_id = 0").collect()[0].embedding]
+    dim = len(qv)
+
+    # ---- LSH ----
+    lsh_dir = str(tmp_path / "ann_lsh")
+    write_ann_index(pool, lsh_dir, dim=dim)
+    t = read_ann_index(spark, lsh_dir)
+    got = lsh_ann_topk(t, qv, dim=dim, k=5, multiprobe_hamming=1)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        got.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "lsh_bucket" in plan
+    # identical to the on-the-fly path (same planes/seed)
+    fly = [(r.vec_id, r.cosine)
+           for r in lsh_ann_topk(pool, qv, dim=dim, k=5, multiprobe_hamming=1).collect()]
+    assert [(r.vec_id, r.cosine) for r in got.collect()] == fly
+
+    # ---- IVF ----
+    cent = ivf_train(pool, n_cells=8, sample_rows=512)
+    ivf_dir = str(tmp_path / "ann_ivf")
+    write_ann_index(pool, ivf_dir, dim=dim, method="ivf", centroids=cent)
+    t2 = read_ann_index(spark, ivf_dir)
+    got2 = ivf_ann_topk(t2, qv, cent, k=5, n_probe=2)
+    buf2 = io.StringIO()
+    with redirect_stdout(buf2):
+        got2.explain(mode="formatted")
+    plan2 = buf2.getvalue()
+    assert "PartitionFilters" in plan2 and "ivf_cell" in plan2
+    fly2 = [(r.vec_id, r.cosine)
+            for r in ivf_ann_topk(pool, qv, cent, k=5, n_probe=2).collect()]
+    assert [(r.vec_id, r.cosine) for r in got2.collect()] == fly2
 
 
 def test_streaming_dedup_cross_batch(spark, tmp_path):

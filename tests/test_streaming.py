@@ -82,12 +82,68 @@ def test_windowed_ingest_stats(spark, stream_dir):
     assert all(r.text_bytes > 0 for r in rows)
 
 
-def test_compile_predicate_matches_engine(spark):
-    """Relational fallback predicate == posting-based engine result."""
-    from yaii_spark.analyzer import with_tokens
+ALL_NODE_QUERIES = [
+    ("token", lambda: A.token("abc")),
+    ("token_all", lambda: A.token("abc", "_all")),
+    ("and", lambda: A.and_(A.token("abc"), A.token("bcd"))),
+    ("or", lambda: A.or_(A.token("abc"), A.token("efg"))),
+    ("not", lambda: A.not_(A.token("abc"))),
+    ("and_not", lambda: A.and_(A.or_(A.token("abc"), A.token("efg")), A.not_(A.token("bcd")))),
+    ("all", lambda: A.all_docs()),
+    ("phrase", lambda: A.phrase(["abc", "bcd"])),
+    ("phrase3", lambda: A.phrase(["lorem", "ipsum", "abc"])),
+    ("phrase_slop", lambda: A.phrase(["abc", "test"], slop=2)),
+    ("phrase_slop_miss", lambda: A.phrase(["abc", "test"], slop=1)),
+    ("phrase_all_field", lambda: A.phrase(["lorem", "ipsum"], "_all")),
+    ("token_range", lambda: A.token_range("text", "a", "c")),
+    ("token_range_open", lambda: A.token_range("text", "t", None)),
+    ("text_contains", lambda: A.text_contains("or")),
+    ("number_eq", lambda: A.number("num_attr", 25)),
+    ("number_range", lambda: A.number_range("num_attr", 15, 40)),
+    ("has_field", lambda: A.has_field("lang")),
+    ("mixed", lambda: A.and_(A.token("abc"), A.number_range("num_attr", None, 22))),
+]
 
-    pages = gen_boolean_pages(spark)
-    tok = with_tokens(pages).withColumnRenamed("tokens", "_tokens")
-    q = A.and_(A.or_(A.token("abc"), A.token("efg")), A.not_(A.token("bcd")))
-    got = {r.doc_id for r in tok.filter(compile_predicate(A.rewrite(q))).collect()}
-    assert got == {12, 13}
+
+@pytest.fixture(scope="module")
+def bool_index(spark, work_dir):
+    from yaii_spark.indexer import build_index
+    from yaii_spark.storage import IndexCatalog
+
+    idx = f"{work_dir}/stream_parity_idx"
+    build_index(
+        spark, gen_boolean_pages(spark), idx, seg_size=2,
+        stored_cols=["text", "lang", "num_attr"],
+    )
+    return IndexCatalog(spark, idx)
+
+
+@pytest.mark.parametrize("name,qf", ALL_NODE_QUERIES, ids=[n for n, _ in ALL_NODE_QUERIES])
+def test_compile_predicate_matches_engine(spark, bool_index, name, qf):
+    """The streaming per-batch predicate covers the FULL batch AST
+    (Phrase incl. slop, TokenRange, TextContains, attributes, boolean
+    composition) and agrees with the posting-based engine doc-for-doc —
+    a FUTURE continuous query accepts exactly the queries batch does."""
+    from yaii_spark.analyzer import tokenize_all_udf, tokenize_udf
+    from yaii_spark.queries.executor import execute_boolean
+
+    q = A.rewrite(qf())
+    engine = {r.doc_id for r in execute_boolean(bool_index, q).collect()}
+    tok = (
+        gen_boolean_pages(spark)
+        .withColumn("_tokens", tokenize_udf(F.col("text")))
+        .withColumn("_all_tokens", tokenize_all_udf(F.col("text")))
+    )
+    stream_form = {r.doc_id for r in tok.filter(compile_predicate(q)).collect()}
+    assert stream_form == engine, (name, stream_form, engine)
+
+
+def test_future_mode_phrase(spark, stream_dir):
+    """A FUTURE continuous query with a phrase leaf (the round-2 gap:
+    compile_predicate used to raise on Phrase)."""
+    sdf, _ = continuous_query(
+        spark, A.phrase(["abc", "bcd"]), QueryMode.FUTURE, stream_dir, PAGES_SCHEMA,
+    )
+    gen_boolean_pages(spark).write.mode("append").parquet(stream_dir)
+    out = _run_stream(spark, sdf, "fut_phrase")
+    assert {r.doc_id for r in out.collect()} == {14}

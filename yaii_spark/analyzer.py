@@ -339,15 +339,24 @@ def make_rule_tokenizer(rules: list[tuple[str, str, bool]]):
     return fn, F.pandas_udf(_series, T.ArrayType(T.StringType()))
 
 
-def make_multivalue_analyzer(per_value_fn=tokenize):
+def make_multivalue_analyzer(per_value_fn=tokenize, position_gap: int = 0):
     """Multi-valued field support (yaii FieldValues): analyze each
     array element and CONCATENATE the token streams in array order —
     exactly the reference's array termizer
-    (/root/reference/src/base-inverted-index.ts:186-196). Positions in
-    our engine continue across elements (the reference stores no
-    positions, so concatenation is the only observable semantics; a
-    phrase can therefore match across an element boundary — documented
-    behavior, matching how the reference's term stream would read).
+    (/root/reference/src/base-inverted-index.ts:186-196).
+
+    `position_gap` (Lucene's positionIncrementGap analogue) controls
+    phrase semantics across element boundaries: with the default 0,
+    positions continue seamlessly and a phrase can match across a
+    boundary (the reference stores no positions, so plain concatenation
+    is the only observable semantics there); with gap N ≥ 1, each
+    element's first token sits N + 1 positions after the previous
+    element's last token, so a phrase (or any proximity window with
+    slop < N) can no longer straddle elements. Implemented by emitting
+    N null sentinel tokens at each boundary — the build's posexplode
+    numbers them, then drops null terms before inverting, leaving the
+    position gap behind (cost: N array slots per boundary, never an
+    indexed posting).
 
     Returns (pure_fn, pandas_udf); plug the udf into build_index's
     fields map as a callable analyzer over an array<string> column.
@@ -359,9 +368,13 @@ def make_multivalue_analyzer(per_value_fn=tokenize):
         if isinstance(values, str):
             return per_value_fn(values)
         out: List[str] = []
+        first = True
         for v in values:
             if v is not None:
+                if not first and position_gap:
+                    out.extend([None] * position_gap)
                 out.extend(per_value_fn(v))
+                first = False
         return out
 
     def _series(s: pd.Series) -> pd.Series:

@@ -68,6 +68,20 @@ def varint_decode(buf: bytes) -> np.ndarray:
     return vals
 
 
+def varint_lengths(values: np.ndarray) -> np.ndarray:
+    """Byte length of each value's LEB128 encoding (vectorized)."""
+    v = np.asarray(values, dtype=np.uint64)
+    bitlen = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    while True:
+        nz = tmp != 0
+        if not nz.any():
+            break
+        bitlen[nz] += 1
+        tmp >>= np.uint64(1)
+    return np.maximum((bitlen + 6) // 7, 1)
+
+
 def delta_encode(sorted_ids: np.ndarray) -> bytes:
     """Strictly-increasing int array → delta + varint bytes."""
     a = np.asarray(sorted_ids, dtype=np.uint64)
@@ -84,6 +98,70 @@ def delta_decode(buf: bytes) -> np.ndarray:
     if deltas.size == 0:
         return deltas
     return np.cumsum(deltas, dtype=np.uint64)
+
+
+# ---------------------------------------------------------------------------
+# blocked layout (FORMAT_VERSION 4): delta encoding RESTARTS at every
+# block boundary (the first value of each block is stored absolute), so
+# any block can be decoded independently given its byte offset — the
+# basis for MaxScore's lazy per-block decode (killed blocks are never
+# touched). Mirrors Lucene's skip-block layout; the reference's
+# RoaringBitmaps have no per-block payloads at all.
+# ---------------------------------------------------------------------------
+
+def delta_encode_blocked(
+    sorted_ids: np.ndarray, block: int
+) -> tuple[bytes, np.ndarray]:
+    """Strictly-increasing array → (bytes, per-block byte offsets).
+
+    Identical to delta_encode except values at indices i % block == 0
+    are stored absolute (restart points)."""
+    a = np.asarray(sorted_ids, dtype=np.uint64)
+    if a.size == 0:
+        return b"", np.empty(0, dtype=np.int32)
+    deltas = np.empty_like(a)
+    deltas[0] = a[0]
+    np.subtract(a[1:], a[:-1], out=deltas[1:])
+    starts = np.arange(0, a.size, block)
+    deltas[starts] = a[starts]  # absolute restart per block
+    lens = varint_lengths(deltas)
+    ends = np.cumsum(lens)
+    value_offs = np.concatenate(([0], ends[:-1]))
+    return varint_encode(deltas), value_offs[starts].astype(np.int32)
+
+
+def delta_decode_blocked(buf: bytes, block: int) -> np.ndarray:
+    """Full decode of the blocked layout (restart-aware cumsum)."""
+    deltas = varint_decode(buf)
+    if deltas.size == 0:
+        return deltas
+    c = np.cumsum(deltas, dtype=np.uint64)
+    starts = np.arange(0, deltas.size, block)
+    pre = np.zeros(starts.size, dtype=np.uint64)
+    pre[1:] = c[starts[1:] - 1]
+    counts = np.diff(np.append(starts, deltas.size))
+    return c - np.repeat(pre, counts)
+
+
+def varint_encode_blocked(
+    values: np.ndarray, block: int
+) -> tuple[bytes, np.ndarray]:
+    """Plain per-entry varints + per-block byte offsets (tf stream)."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b"", np.empty(0, dtype=np.int32)
+    lens = varint_lengths(v)
+    ends = np.cumsum(lens)
+    value_offs = np.concatenate(([0], ends[:-1]))
+    starts = np.arange(0, v.size, block)
+    return varint_encode(v), value_offs[starts].astype(np.int32)
+
+
+def decode_byte_range(buf: bytes, offs: np.ndarray, b: int, total_len: int) -> bytes:
+    """Byte slice of block b given the per-block offsets array."""
+    lo = int(offs[b])
+    hi = int(offs[b + 1]) if b + 1 < len(offs) else total_len
+    return buf[lo:hi]
 
 
 def encode_positions(positions_per_doc: list) -> bytes:

@@ -84,6 +84,43 @@ def get_index(
     return cat
 
 
+def get_events_index(spark, sf_dir: str, seg_size: int = 2048) -> IndexCatalog:
+    """Index over the events table — dense event_id → doc_id, `props`
+    as the text field, and the TIMESTAMP column `ts` stored as a
+    queryable attribute (timestamp-typed NumberRange coverage; the
+    reference carries timestamps as integer millis through the same
+    comparison path, /root/reference/test/system/test-index.ts:341)."""
+    tag = hashlib.md5(
+        f"{sf_dir}|events|{seg_size}|v{FORMAT_VERSION}".encode()
+    ).hexdigest()[:12]
+    out = os.path.join(_CACHE_ROOT, tag)
+    cat = IndexCatalog(spark, out)
+    if not cat.exists():
+        ev = _tbl(spark, sf_dir, "events").select(
+            F.col("event_id").alias("doc_id"),
+            "ts", "event_type", "value",
+            F.col("props").alias("text"),
+        )
+        build_index(
+            spark, ev, out, seg_size=seg_size,
+            stored_cols=["ts", "event_type", "value", "text"],
+        )
+    return cat
+
+
+def q_ts_range(spark, sf_dir):
+    """Timestamp-typed range predicate through the engine's attribute
+    path (P4 over a TIMESTAMP column — Catalyst comparisons push to the
+    parquet scan exactly like numeric ranges)."""
+    import datetime as dt
+
+    cat = get_events_index(spark, sf_dir)
+    return execute_boolean(
+        cat,
+        A.number_range("ts", dt.datetime(2024, 1, 10), dt.datetime(2024, 1, 12)),
+    )
+
+
 def _docs(spark, sf_dir) -> DataFrame:
     return read_table(spark, os.path.join(sf_dir, "documents.parquet"))
 
@@ -260,7 +297,9 @@ def q_ngram_jaccard_adjacent(spark, sf_dir):
 
 
 def q_simhash(spark, sf_dir):
-    return D.simhash(_docs(spark, sf_dir))
+    # simhash() also emits n_tokens (the default length-band key for
+    # simhash_candidates); the oracle restates the fingerprint only
+    return D.simhash(_docs(spark, sf_dir)).select("doc_id", "simhash")
 
 
 def q_cosine_topk(spark, sf_dir):
@@ -269,17 +308,37 @@ def q_cosine_topk(spark, sf_dir):
     return S.cosine_topk(emb.filter("vec_id > 0"), qv, k=5)
 
 
+def get_ann_index(spark, sf_dir: str, dim: int, n_planes: int = 8) -> DataFrame:
+    """Materialized LSH ANN table for an sf_dir (cached like get_index):
+    written once partitioned by lsh_bucket through the storage seam, so
+    every query's probe filter is partition pruning, never an on-the-fly
+    signature recompute over the corpus (VERDICT r2 #3)."""
+    from yaii_spark.storage import fs_exists
+
+    tag = hashlib.md5(
+        f"{sf_dir}|ann_lsh|{dim}|{n_planes}|v{FORMAT_VERSION}".encode()
+    ).hexdigest()[:12]
+    out = os.path.join(_CACHE_ROOT, tag)
+    if not fs_exists(spark, os.path.join(out, "_SUCCESS")):
+        S.write_ann_index(
+            _emb(spark, sf_dir).filter("vec_id > 0"), out, dim=dim,
+            n_planes=n_planes,
+        )
+    return S.read_ann_index(spark, out)
+
+
 def q_ann_lsh(spark, sf_dir):
-    """LSH-bucketed ANN (multiprobe hamming≤1) — the scale path for
-    similarity search; the oracle recomputes the identical hyperplane
-    signatures (seeded constants embedded as SQL literals) + exact
-    rerank, so bucketing AND scoring are value-checked."""
+    """LSH-bucketed ANN (multiprobe hamming≤1) over the MATERIALIZED
+    bucket-partitioned table — the scale path for similarity search;
+    the oracle recomputes the identical hyperplane signatures (seeded
+    constants embedded as SQL literals) + exact rerank, so bucketing
+    AND scoring are value-checked."""
     emb = _emb(spark, sf_dir)
     qv = [float(x) for x in emb.filter("vec_id = 0").collect()[0].embedding]
-    out = S.lsh_ann_topk(
-        emb.filter("vec_id > 0"), qv, dim=len(qv), k=5, multiprobe_hamming=1
+    return S.lsh_ann_topk(
+        get_ann_index(spark, sf_dir, dim=len(qv)), qv, dim=len(qv), k=5,
+        multiprobe_hamming=1,
     )
-    return out
 
 
 def _ann_lsh_sql(dim: int = 64, n_planes: int = 8) -> str:
@@ -408,6 +467,7 @@ def queries():
         # attribute predicates (P3-P5)
         "q_number_eq": _bool_q(lambda: A.number("n_chars", 157)),
         "q_number_range": _bool_q(lambda: A.number_range("n_chars", 100, 200)),
+        "q_ts_range": q_ts_range,
         "q_has_field": _bool_q(lambda: A.has_field("lang")),
         "q_mixed_and": _bool_q(
             lambda: A.and_(A.token("dup"), A.number_range("n_chars", None, 300))
@@ -493,6 +553,8 @@ def oracle_sql():
         "q_text_contains": ids_where("len(list_filter(toks, t -> contains(t, 'ort'))) > 0"),
         "q_number_eq": "SELECT doc_id FROM documents WHERE n_chars = 157",
         "q_number_range": "SELECT doc_id FROM documents WHERE n_chars >= 100 AND n_chars < 200",
+        "q_ts_range": "SELECT event_id AS doc_id FROM events "
+        "WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-12 00:00:00'",
         "q_has_field": "SELECT doc_id FROM documents WHERE lang IS NOT NULL",
         "q_mixed_and": f"WITH {_TOK_CTE} SELECT t.doc_id FROM tok t JOIN documents d USING (doc_id) "
         f"WHERE {_contains_sql('dup')} AND d.n_chars < 300",

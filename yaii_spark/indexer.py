@@ -65,7 +65,12 @@ from yaii_spark.analyzer import (
     tokenize_udf,
     varint_read,
 )
-from yaii_spark.codec import delta_encode, encode_positions, varint_encode
+from yaii_spark.codec import (
+    delta_encode_blocked,
+    encode_positions,
+    varint_encode,
+    varint_encode_blocked,
+)
 from yaii_spark.storage import fs_delete, fs_exists, read_table, write_table
 
 DEFAULT_K1 = 1.2  # Lucene/ES defaults — yaii's stated design base
@@ -89,11 +94,27 @@ def _tf_norm(tf: np.ndarray, dl: np.ndarray, avgdl: float, k1: float, b: float) 
     return tf / (tf + k1 * (1.0 - b + b * dl.astype(np.float64) / avgdl))
 
 
+# blocked layout (FORMAT_VERSION 4): delta restarts + per-block byte
+# offsets and first doc ids, so the query side can decode single blocks
+# (codec.delta_encode_blocked; bm25 lazy MaxScore is the consumer)
 _POSTINGS_SCHEMA = (
     "seg_id long, field string, term string, df_local long, cf_local long, "
     "doc_ids_bin binary, tfs_bin binary, pos_bin binary, "
-    "block_maxes array<double>, max_norm double"
+    "block_maxes array<double>, max_norm double, "
+    "block_id_offs array<int>, block_tf_offs array<int>, "
+    "block_first_ids array<long>"
 )
+
+
+def _encode_blocked(out: dict, ids_a: np.ndarray, tfs_a: np.ndarray) -> None:
+    """Append the blocked id/tf encodings + block metadata columns."""
+    ids_bin, id_offs = delta_encode_blocked(ids_a, BLOCK_SIZE)
+    tfs_bin, tf_offs = varint_encode_blocked(tfs_a, BLOCK_SIZE)
+    out["doc_ids_bin"].append(ids_bin)
+    out["tfs_bin"].append(tfs_bin)
+    out["block_id_offs"].append([int(x) for x in id_offs])
+    out["block_tf_offs"].append([int(x) for x in tf_offs])
+    out["block_first_ids"].append([int(x) for x in ids_a[::BLOCK_SIZE]])
 
 
 def _make_segment_encoder(avgdl: float, k1: float, b: float):
@@ -111,6 +132,7 @@ def _make_segment_encoder(avgdl: float, k1: float, b: float):
             "seg_id": [], "field": [], "term": [], "df_local": [], "cf_local": [],
             "doc_ids_bin": [], "tfs_bin": [], "pos_bin": [],
             "block_maxes": [], "max_norm": [],
+            "block_id_offs": [], "block_tf_offs": [], "block_first_ids": [],
         }
         for (field, term), g in pdf.groupby(["field", "term"], sort=False):
             ids = g["doc_id"].to_numpy(dtype=np.uint64)
@@ -127,8 +149,7 @@ def _make_segment_encoder(avgdl: float, k1: float, b: float):
             out["term"].append(term)
             out["df_local"].append(int(ids.size))
             out["cf_local"].append(int(tfs.sum()))
-            out["doc_ids_bin"].append(delta_encode(ids))
-            out["tfs_bin"].append(varint_encode(tfs))
+            _encode_blocked(out, ids, tfs)
             out["pos_bin"].append(encode_positions(list(g["positions"])))
             out["block_maxes"].append(bmax)
             out["max_norm"].append(float(norms.max()) if norms.size else 0.0)
@@ -186,6 +207,7 @@ def _make_packed_encoder(field_names: list[str], avgdl: float, k1: float, b: flo
             "seg_id": [], "field": [], "term": [], "df_local": [], "cf_local": [],
             "doc_ids_bin": [], "tfs_bin": [], "pos_bin": [],
             "block_maxes": [], "max_norm": [],
+            "block_id_offs": [], "block_tf_offs": [], "block_first_ids": [],
         }
         for (fid, term), (ids, tfs, dls, poss) in acc.items():
             ids_a = np.array(ids, dtype=np.uint64)
@@ -202,8 +224,7 @@ def _make_packed_encoder(field_names: list[str], avgdl: float, k1: float, b: flo
             out["term"].append(term.decode("utf-8"))
             out["df_local"].append(int(ids_a.size))
             out["cf_local"].append(int(tfs_a.sum()))
-            out["doc_ids_bin"].append(delta_encode(ids_a))
-            out["tfs_bin"].append(varint_encode(tfs_a))
+            _encode_blocked(out, ids_a, tfs_a)
             out["pos_bin"].append(b"".join(poss))
             out["block_maxes"].append(bmax)
             out["max_norm"].append(float(norms.max()) if norms.size else 0.0)
@@ -285,13 +306,6 @@ def build_index(
     if fields is None:
         fields = {"text": (text_col, "standard"), "_all": (text_col, "all")}
 
-    # keep the tokenize stage wide: small inputs (or few parquet files)
-    # would otherwise run the analyzer UDF on 1-2 cores. At 100 TB the
-    # input has far more splits than cores and this is a no-op.
-    par = spark.sparkContext.defaultParallelism
-    if pages.rdd.getNumPartitions() < par:
-        pages = pages.repartition(par * 2)
-
     # per-field path split: fields sourced from text_col with the
     # standard/all analyzers take the fast path — per-doc (term, tf,
     # positions) computed inside the analyzer UDF (map-side combine,
@@ -307,6 +321,22 @@ def build_index(
         if src == text_col and an in ("standard", "all")
     }
     slow_fields = {f: sa for f, sa in fields.items() if f not in fast_fields}
+    slow_srcs = sorted({src for (src, _an) in slow_fields.values()})
+    # tokenize input: ONLY the columns the analyzer consumers need —
+    # the persisted batch must never hold the wide page row (the html
+    # binary in particular): at web scale the cached bytes ARE the
+    # build's memory-bandwidth bill, and the stats/meta/postings
+    # consumers only touch (id, seg ids, dl, packed blobs). The stored
+    # columns reach the docs table straight from source (below).
+    tok_cols = list(dict.fromkeys([id_col, text_col, *slow_srcs]))
+    tok_in = pages.select(*tok_cols)
+    # keep the tokenize stage wide: small inputs (or few parquet files)
+    # would otherwise run the analyzer UDF on 1-2 cores. At 100 TB the
+    # input has far more splits than cores and this is a no-op — and
+    # the shuffle moves only the narrow projection, never html bytes.
+    par = spark.sparkContext.defaultParallelism
+    if tok_in.rdd.getNumPartitions() < par:
+        tok_in = tok_in.repartition(par * 2)
     # dl (the BM25 norm) always comes from text_col's standard
     # tokenization; the same UDF pass packs the fast fields' inverted
     # entries into per-shard binary blobs (analyzer.doc_postings — the
@@ -314,16 +344,22 @@ def build_index(
     fast_names = sorted(fast_fields)
     fast_specs = [(i, fast_fields[f]) for i, f in enumerate(fast_names)]
     dp_udf = make_doc_postings_udf(postings_shards, fast_specs)
-    docs = pages.withColumn("_dp", dp_udf(F.col(text_col))).withColumn(
-        "dl", F.col("_dp.dl").cast("long")
+    docs = (
+        tok_in.withColumn("_dp", dp_udf(F.col(text_col)))
+        .withColumn("dl", F.col("_dp.dl").cast("long"))
+        .withColumn("seg_id", (F.col(id_col) / F.lit(seg_size)).cast("long"))
     )
-    docs = docs.withColumn("seg_id", (F.col(id_col) / F.lit(seg_size)).cast("long"))
     docs = docs.withColumn(
         "local_id", (F.col(id_col) - F.col("seg_id") * F.lit(seg_size)).cast("long")
     )
     docs = docs.withColumn("base_doc_id", F.col("seg_id") * F.lit(seg_size))
-    # tokenize exactly once: every downstream pass (stats, docs table,
-    # seg_meta, postings) reuses the cached tokenized batch
+    docs = docs.select(
+        *dict.fromkeys(
+            [id_col, "seg_id", "local_id", "base_doc_id", "dl", "_dp", *slow_srcs]
+        )
+    )
+    # tokenize exactly once: every downstream pass (stats, seg_meta,
+    # postings) reuses the cached narrow tokenized batch
     docs = docs.persist()
 
     # ---- corpus stats + segment list in ONE job (stable across resumes) ----
@@ -367,11 +403,25 @@ def build_index(
         )
         batch = docs.join(F.broadcast(pend_df), "seg_id", "left_semi")
 
-        # ---- docs table (stored fields + dl) ----
-        keep = [id_col, "seg_id", "local_id", "dl"] + [
+        # ---- docs table (stored fields) — read straight from SOURCE:
+        # seg/local ids are pure arithmetic on id_col, so the stored
+        # columns (html binaries included) never pass through the
+        # cached tokenized batch; this write is a column-pruned
+        # source-to-sink copy ----
+        stored = [
             c for c in (stored_cols or [c for c in pages.columns if c != id_col])
         ]
-        docs_df = batch.select(*dict.fromkeys(keep))
+        docs_df = (
+            pages.withColumn(
+                "seg_id", (F.col(id_col) / F.lit(seg_size)).cast("long")
+            )
+            .withColumn(
+                "local_id",
+                (F.col(id_col) - F.col("seg_id") * F.lit(seg_size)).cast("long"),
+            )
+            .join(F.broadcast(pend_df), "seg_id", "left_semi")
+            .select(*dict.fromkeys([id_col, "seg_id", "local_id", *stored]))
+        )
 
         # ---- per-segment doc-length blobs (JVM agg + tiny encode UDF:
         # one row per segment reaches Python, not one per doc) ----
@@ -429,6 +479,11 @@ def build_index(
             tok = slow_parts[0]
             for p in slow_parts[1:]:
                 tok = tok.unionByName(p)
+            # null tokens are position-gap sentinels (multivalue
+            # analyzers with position_gap>0): posexplode numbered them,
+            # dropping them here leaves the gap in the position space
+            # without ever indexing a posting
+            tok = tok.filter(F.col("term").isNotNull())
             tfpos = tok.groupBy("seg_id", "field", "term", "doc_id", "dl").agg(
                 F.count("*").alias("tf"),
                 F.sort_array(F.collect_list("pos")).alias("positions"),
@@ -625,30 +680,29 @@ def merge_segments(
     def merge_shard(post_pdf: pd.DataFrame, meta_pdf: pd.DataFrame) -> pd.DataFrame:
         from yaii_spark.codec import (
             decode_positions,
-            delta_decode,
-            delta_encode,
+            delta_decode_blocked,
+            delta_encode_blocked,
             encode_positions,
             varint_decode,
+            varint_encode_blocked,
         )
 
+        cols = [
+            "seg_id", "field", "term", "df_local", "cf_local",
+            "doc_ids_bin", "tfs_bin", "pos_bin", "block_maxes", "max_norm",
+            "block_id_offs", "block_tf_offs", "block_first_ids",
+        ]
         if post_pdf.empty:
-            return pd.DataFrame(
-                {c: [] for c in [
-                    "seg_id", "field", "term", "df_local", "cf_local",
-                    "doc_ids_bin", "tfs_bin", "pos_bin", "block_maxes", "max_norm",
-                ]}
-            )
+            return pd.DataFrame({c: [] for c in cols})
         new_seg = int(post_pdf["new_seg"].iloc[0])
         base = new_seg * new_size
         dls = varint_decode(meta_pdf["dl_bin"].iloc[0]).astype(np.float64)
         post_pdf = post_pdf.sort_values(["field", "term", "seg_id"], kind="mergesort")
-        out = {
-            "seg_id": [], "field": [], "term": [], "df_local": [], "cf_local": [],
-            "doc_ids_bin": [], "tfs_bin": [], "pos_bin": [],
-            "block_maxes": [], "max_norm": [],
-        }
+        out = {c: [] for c in cols}
         for (field, term), g in post_pdf.groupby(["field", "term"], sort=False):
-            ids = np.concatenate([delta_decode(x) for x in g["doc_ids_bin"]])
+            ids = np.concatenate(
+                [delta_decode_blocked(x, block_size) for x in g["doc_ids_bin"]]
+            )
             tfs = np.concatenate([varint_decode(x) for x in g["tfs_bin"]])
             pos_lists = []
             for pb, tb in zip(g["pos_bin"], g["tfs_bin"]):
@@ -665,18 +719,19 @@ def merge_segments(
             out["term"].append(term)
             out["df_local"].append(int(g["df_local"].sum()))
             out["cf_local"].append(int(g["cf_local"].sum()))
-            out["doc_ids_bin"].append(delta_encode(ids))
-            out["tfs_bin"].append(varint_encode(tfs))
+            ids_bin, id_offs = delta_encode_blocked(ids, block_size)
+            tfs_bin, tf_offs = varint_encode_blocked(tfs, block_size)
+            out["doc_ids_bin"].append(ids_bin)
+            out["tfs_bin"].append(tfs_bin)
+            out["block_id_offs"].append([int(x) for x in id_offs])
+            out["block_tf_offs"].append([int(x) for x in tf_offs])
+            out["block_first_ids"].append([int(x) for x in ids[::block_size]])
             out["pos_bin"].append(encode_positions([p.tolist() for p in pos_lists]))
             out["block_maxes"].append(bmax)
             out["max_norm"].append(float(norms.max()) if norms.size else 0.0)
         return pd.DataFrame(out)
 
-    out_schema = (
-        "seg_id long, field string, term string, df_local long, cf_local long, "
-        "doc_ids_bin binary, tfs_bin binary, pos_bin binary, "
-        "block_maxes array<double>, max_norm double"
-    )
+    out_schema = _POSTINGS_SCHEMA
     shard = F.pmod(F.xxhash64("field", "term"), F.lit(MERGE_SHARDS))
     posts = (
         post.withColumn("new_seg", (F.col("seg_id") / factor).cast("long"))

@@ -11,8 +11,9 @@ All scale-sensitive choices are explicit:
   hashes derive from md5 so the DuckDB oracle can reproduce them
   exactly; the hash family is (a_j·x + b_j) mod p (universal hashing).
 - **simhash**: 64-bit sign-aggregated token-hash fingerprint; near-dups
-  = small Hamming distance, bucketed by 16-bit chunks (each chunk an
-  exact-match key → candidates shuffle-bounded like LSH).
+  = small Hamming distance, bucketed by (16-bit chunk, length band) —
+  the band is part of the DEFAULT key (bare chunks grow candidates at
+  N²/65536; opting out requires allow_unbanded=True).
 - **ngram_jaccard**: exact Jaccard on distinct word n-grams for a
   candidate pair set (LSH output or adjacent-id probe in tests).
 - **embedding near-dup**: cosine ≥ τ within a blocking key.
@@ -210,6 +211,11 @@ def simhash(
     interpreted `aggregate` HOFs per row (~10x slower) and an explode
     + 64-bit-sum JVM aggregation (corpus-sized shuffle, ~8x slower
     than this batch path).
+
+    Also emits ``n_tokens`` (whitespace token count of the same
+    normalization, pure JVM expression) — the default length-band key
+    simhash_candidates needs, so the default pipeline
+    ``simhash(df) |> simhash_candidates`` is never quadratic.
     """
     if hash_family not in ("oracle", "fast"):
         raise ValueError(f"unknown hash_family: {hash_family!r}")
@@ -247,24 +253,50 @@ def simhash(
             out[i] = val - (1 << 64) if val >= (1 << 63) else val
         return pd.Series(out, index=texts.index)
 
-    return df.select(F.col(id_col), sh(F.col(text_col)).alias("simhash"))
+    return df.select(
+        F.col(id_col),
+        sh(F.col(text_col)).alias("simhash"),
+        F.size(F.split(_norm_text(F.col(text_col)), " ")).alias("n_tokens"),
+    )
 
 
 def simhash_candidates(
     sim_df: DataFrame, id_col: str = "doc_id", max_hamming: int = 3,
-    len_col: str | None = None, band_width: int = 16,
+    len_col: str | None = "n_tokens", band_width: int = 16,
+    allow_unbanded: bool = False,
 ) -> DataFrame:
     """Near-dup candidates: docs sharing any 16-bit simhash chunk, then
     exact Hamming filter ≤ max_hamming (pigeonhole over 4 chunks).
 
-    A bare 16-bit chunk key collides at N²/65536 — quadratic at web
-    scale. Pass `len_col` (e.g. a token count) to widen the key with a
-    length band: each doc lands in bands {⌊len/w⌋, ⌊len/w⌋+1}, so pairs
-    within `band_width` of each other always share a band while random
-    collisions need similar length too (Manku et al. WWW'07 combine
-    bit-block keys with exactly this kind of partitioning). Near-dups
+    Length banding is the DEFAULT: the key is (chunk_id, chunk,
+    ⌊len/band_width⌋) with each doc exploded into bands {b, b+1}, so
+    pairs within `band_width` tokens of each other always share a band
+    while random chunk collisions also need similar length (Manku et
+    al. WWW'07 combine bit-block keys with exactly this kind of
+    partitioning). `simhash()` emits the `n_tokens` column this
+    consumes, so the default pipeline is banded end-to-end. Near-dups
     at Hamming ≤ 3 virtually always have near-equal lengths; pairs
-    differing by > band_width tokens are deliberately out of scope."""
+    differing by > band_width tokens are deliberately out of scope.
+
+    The OPT-OUT (`allow_unbanded=True` with `len_col=None`) drops the
+    band from the key — a bare 16-bit chunk collides at N²/65536,
+    quadratic at web scale, so it exists only for corpora where length
+    is meaningless (fixed-size records); asking for it explicitly is
+    required, and a missing `len_col` column otherwise raises instead
+    of silently degrading."""
+    if len_col is not None and len_col not in sim_df.columns:
+        raise ValueError(
+            f"simhash_candidates: len_col {len_col!r} not in input columns "
+            f"{sim_df.columns}; pass the token-count column (simhash() emits "
+            "'n_tokens'), or opt out of length banding explicitly with "
+            "len_col=None, allow_unbanded=True"
+        )
+    if len_col is None and not allow_unbanded:
+        raise ValueError(
+            "simhash_candidates: len_col=None makes the bucket key a bare "
+            "16-bit chunk (N^2/65536 collision growth — quadratic at web "
+            "scale); pass allow_unbanded=True to opt out deliberately"
+        )
     chunks = F.array(
         *[
             F.struct(

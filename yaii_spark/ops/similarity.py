@@ -112,6 +112,48 @@ def with_ivf_cell(
     return emb.withColumn("ivf_cell", cell(F.col(vec_col)))
 
 
+def write_ann_index(
+    emb: DataFrame, out_dir: str, dim: int, method: str = "lsh",
+    n_planes: int = 8, seed: int = 42, centroids: np.ndarray | None = None,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> None:
+    """Materialize the ANN table PARTITIONED BY its bucket/cell column
+    through the storage seam — the scale path the bucketing docstrings
+    promise: a query then reads only the probed partitions (Catalyst
+    PartitionFilters, plan-asserted in tests) instead of recomputing
+    signatures over the whole corpus per query (VERDICT r2 #3).
+
+    method='lsh' partitions by the hyperplane signature (`lsh_bucket`);
+    method='ivf' needs trained `centroids` and partitions by
+    `ivf_cell`. Pass the SAME (dim, n_planes, seed) / centroids to the
+    query side."""
+    from yaii_spark.storage import write_table
+
+    if method == "lsh":
+        df = with_lsh_bucket(emb, dim, n_planes, seed, vec_col)
+        write_table(
+            df.select(id_col, vec_col, "lsh_bucket"), out_dir,
+            partition_by=["lsh_bucket"],
+        )
+    elif method == "ivf":
+        if centroids is None:
+            raise ValueError("method='ivf' needs trained centroids")
+        df = with_ivf_cell(emb, centroids, vec_col)
+        write_table(
+            df.select(id_col, vec_col, "ivf_cell"), out_dir,
+            partition_by=["ivf_cell"],
+        )
+    else:
+        raise ValueError(f"unknown ANN index method: {method!r}")
+
+
+def read_ann_index(spark, out_dir: str) -> DataFrame:
+    """The materialized ANN table (partition column included)."""
+    from yaii_spark.storage import read_table
+
+    return read_table(spark, out_dir)
+
+
 def ivf_ann_topk(
     emb: DataFrame, query_vec: list[float], centroids: np.ndarray,
     k: int = 10, n_probe: int = 4,
@@ -119,14 +161,18 @@ def ivf_ann_topk(
 ) -> DataFrame:
     """IVF approximate top-k: probe the n_probe cells whose centroids
     are nearest the query, exact cosine rerank inside. n_probe =
-    n_cells degenerates to exact brute force (recall sanity anchor)."""
+    n_cells degenerates to exact brute force (recall sanity anchor).
+
+    `emb` may be the raw table (cells computed on the fly — a full
+    scan) or a materialized `write_ann_index(..., method='ivf')` table
+    whose `ivf_cell` partition column turns the probe filter into
+    partition pruning."""
     q = np.asarray(query_vec, dtype=np.float64)
     qn = q / max(np.linalg.norm(q), 1e-12)
     order = np.argsort(-(centroids @ qn))
     probes = [int(c) for c in order[:n_probe]]
-    cand = with_ivf_cell(emb, centroids, vec_col).filter(
-        F.col("ivf_cell").isin(probes)
-    )
+    celled = emb if "ivf_cell" in emb.columns else with_ivf_cell(emb, centroids, vec_col)
+    cand = celled.filter(F.col("ivf_cell").isin(probes))
     e = cand.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
     scored = e.select(F.col(id_col), F.round(_cos_against(query_vec), 6).alias("cosine"))
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
@@ -140,8 +186,12 @@ def lsh_ann_topk(
 ) -> DataFrame:
     """Approximate top-k: score only vectors whose bucket is within
     `multiprobe_hamming` bit flips of the query's bucket, exact rerank
-    inside. At scale the bucket column is a partition key → partition
-    pruning turns this into a sub-scan."""
+    inside.
+
+    `emb` may be the raw table (signatures computed on the fly — a
+    full scan) or a materialized `write_ann_index(..., method='lsh')`
+    table whose `lsh_bucket` partition column turns the probe filter
+    into partition pruning (the scale path; plan-asserted in tests)."""
     planes = _hyperplanes(dim, n_planes, seed)
     qsig = 0
     for j in range(n_planes):
@@ -156,7 +206,10 @@ def lsh_ann_topk(
             for i in range(n_planes)
             for j in range(i + 1, n_planes)
         }
-    bucketed = with_lsh_bucket(emb, dim, n_planes, seed, vec_col)
+    bucketed = (
+        emb if "lsh_bucket" in emb.columns
+        else with_lsh_bucket(emb, dim, n_planes, seed, vec_col)
+    )
     cand = bucketed.filter(F.col("lsh_bucket").isin([int(p) for p in probes]))
     e = cand.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
     scored = e.select(F.col(id_col), F.round(_cos_against(query_vec), 6).alias("cosine"))

@@ -31,7 +31,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from yaii_spark.codec import delta_decode, varint_decode
+from yaii_spark.codec import delta_decode_blocked, varint_decode
 from yaii_spark.storage import IndexCatalog
 
 
@@ -44,6 +44,97 @@ _EMPTY = lambda: pd.DataFrame(
 )
 
 
+#: decoded-bytes accounting for the lazy block decode (in-process only —
+#: meaningful when the scorer is called directly, as the pruning tests
+#: do; Spark workers keep their own copies)
+DECODE_STATS = {"bytes_decoded": 0, "bytes_total": 0, "blocks_decoded": 0, "blocks_total": 0}
+
+
+def reset_decode_stats() -> None:
+    for k in DECODE_STATS:
+        DECODE_STATS[k] = 0
+
+
+class _LazyPostings:
+    """Lazy accessor over one blocked posting row (FORMAT_VERSION 4):
+    each block's doc-id deltas restart absolute and its byte offsets are
+    stored, so single blocks decode independently — MaxScore's killed
+    blocks are never touched (VERDICT r2 #5; the format analogue of
+    Lucene skip blocks). Returns LOCAL doc ids (base subtracted)."""
+
+    __slots__ = (
+        "ids_bin", "tfs_bin", "id_offs", "tf_offs", "first_ids",
+        "n", "block", "base", "_blocks", "_full",
+    )
+
+    def __init__(self, ids_bin, tfs_bin, id_offs, tf_offs, first_ids, n, block, base):
+        self.ids_bin = ids_bin
+        self.tfs_bin = tfs_bin
+        self.id_offs = np.asarray(id_offs, dtype=np.int64)
+        self.tf_offs = np.asarray(tf_offs, dtype=np.int64)
+        self.first_ids = np.asarray(first_ids, dtype=np.int64) - base
+        self.n = int(n)
+        self.block = int(block)
+        self.base = int(base)
+        self._blocks: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self._full: tuple[np.ndarray, np.ndarray] | None = None
+        DECODE_STATS["bytes_total"] += len(ids_bin) + len(tfs_bin)
+        DECODE_STATS["blocks_total"] += len(self.id_offs)
+
+    def nblocks(self) -> int:
+        return len(self.id_offs)
+
+    def decode_all(self) -> tuple[np.ndarray, np.ndarray]:
+        """(local_ids, tfs) for the whole list (single-shot decode)."""
+        if self._full is None:
+            ids = delta_decode_blocked(self.ids_bin, self.block).astype(np.int64) - self.base
+            tfs = varint_decode(self.tfs_bin).astype(np.float64)
+            self._full = (ids, tfs)
+            DECODE_STATS["bytes_decoded"] += len(self.ids_bin) + len(self.tfs_bin)
+            DECODE_STATS["blocks_decoded"] += self.nblocks()
+        return self._full
+
+    def _block_slice(self, buf: bytes, offs: np.ndarray, bx: int) -> bytes:
+        lo = int(offs[bx])
+        hi = int(offs[bx + 1]) if bx + 1 < len(offs) else len(buf)
+        return buf[lo:hi]
+
+    def decode_block(self, bx: int) -> tuple[np.ndarray, np.ndarray]:
+        if self._full is not None:
+            s = slice(bx * self.block, (bx + 1) * self.block)
+            return self._full[0][s], self._full[1][s]
+        got = self._blocks.get(bx)
+        if got is None:
+            ib = self._block_slice(self.ids_bin, self.id_offs, bx)
+            tb = self._block_slice(self.tfs_bin, self.tf_offs, bx)
+            ids = delta_decode_blocked(ib, self.block).astype(np.int64) - self.base
+            tfs = varint_decode(tb).astype(np.float64)
+            got = self._blocks[bx] = (ids, tfs)
+            DECODE_STATS["bytes_decoded"] += len(ib) + len(tb)
+            DECODE_STATS["blocks_decoded"] += 1
+        return got
+
+    def blocks_for(self, sorted_local_ids: np.ndarray) -> np.ndarray:
+        """Which blocks could contain any of these (sorted local) ids."""
+        bx = np.searchsorted(self.first_ids, sorted_local_ids, side="right") - 1
+        bx = bx[bx >= 0]
+        return np.unique(bx)
+
+    def lookup(self, sorted_local_ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(hit_mask, tfs_of_hits) for the given sorted local ids —
+        decodes only the blocks that can contain them."""
+        hit = np.zeros(sorted_local_ids.size, dtype=bool)
+        tfs_out = np.empty(sorted_local_ids.size, dtype=np.float64)
+        for bx in self.blocks_for(sorted_local_ids):
+            ids_b, tfs_b = self.decode_block(bx)
+            pos = np.searchsorted(ids_b, sorted_local_ids)
+            pos_c = np.clip(pos, 0, ids_b.size - 1)
+            m = ids_b[pos_c] == sorted_local_ids
+            hit |= m
+            tfs_out[m] = tfs_b[pos_c[m]]
+        return hit, tfs_out
+
+
 def _score_segment_pruned(
     pdf: pd.DataFrame,
     idfs: dict[str, float],
@@ -54,29 +145,37 @@ def _score_segment_pruned(
     block: int,
     deleted: np.ndarray | None = None,
 ) -> pd.DataFrame:
-    """MaxScore + block-max pruned top-k (mode='or', rank-safe).
+    """MaxScore + block-max pruned top-k (mode='or', rank-safe, LAZY).
 
-    Term-at-a-time in descending upper-bound order. Before adding term
-    i's postings, any candidate whose accumulated score + per-posting
-    block-max bound + remaining terms' upper bounds can't reach the
-    running kth-score threshold is marked dead (it provably cannot
-    enter the top-k). Survivors are then rescored exactly in sorted-term
-    order so output floats are byte-identical to the exact path.
+    Term-at-a-time in descending upper-bound order. While a term is
+    ESSENTIAL (Σ upper bounds of it + all later terms ≥ the running
+    kth-score threshold θ — a brand-new doc could still reach the
+    top-k) its list is decoded in full, and before adding it any doc
+    whose accumulated score + per-posting block-max bound + remaining
+    upper bounds can't reach θ is marked dead. Once the suffix bound
+    drops below θ the remaining terms are NON-ESSENTIAL: no unseen doc
+    can enter the top-k anymore, so only current candidates matter —
+    candidates are pre-killed against θ with zero IO, and only the
+    blocks that can contain surviving candidates are decoded
+    (`_LazyPostings`; killed blocks' bytes are never touched).
+    Survivors are then rescored exactly in sorted-term order so output
+    floats are byte-identical to the exact path.
     """
     n_docs = int(pdf["n_docs"].iloc[0])
     base = int(pdf["base_doc_id"].iloc[0])
     dls = varint_decode(pdf["dl_bin"].iloc[0]).astype(np.float64)
-    term_rows = {}
-    for t, ids_b, tfs_b, bmax in zip(
-        pdf["term"], pdf["doc_ids_bin"], pdf["tfs_bin"], pdf["block_maxes"]
+    term_rows: dict[str, tuple[_LazyPostings, np.ndarray]] = {}
+    for t, ids_b, tfs_b, bmax, io_, to_, fi_, n_ in zip(
+        pdf["term"], pdf["doc_ids_bin"], pdf["tfs_bin"], pdf["block_maxes"],
+        pdf["block_id_offs"], pdf["block_tf_offs"], pdf["block_first_ids"],
+        pdf["df_local"],
     ):
         if t in idfs:
-            ids = delta_decode(ids_b).astype(np.int64) - base
-            tfs = varint_decode(tfs_b).astype(np.float64)
-            term_rows[t] = (ids, tfs, np.asarray(bmax, dtype=np.float64))
+            lp = _LazyPostings(ids_b, tfs_b, io_, to_, fi_, n_, block, base)
+            term_rows[t] = (lp, np.asarray(bmax, dtype=np.float64))
     if not term_rows:
         return _EMPTY()
-    ubs = {t: idfs[t] * float(bm.max()) for t, (_, _, bm) in term_rows.items()}
+    ubs = {t: idfs[t] * float(bm.max()) for t, (_, bm) in term_rows.items()}
     order = sorted(term_rows, key=lambda t: (-ubs[t], t))
     suffix = np.concatenate(
         (np.cumsum([ubs[t] for t in order][::-1])[::-1], [0.0])
@@ -88,8 +187,35 @@ def _score_segment_pruned(
     touched: list[np.ndarray] = []
     theta = -np.inf
     n_seen = 0
+    cand: np.ndarray | None = None  # frozen candidate set (sorted) once non-essential
     for i, t in enumerate(order):
-        ids, tfs, bmax = term_rows[t]
+        lp, bmax = term_rows[t]
+        if cand is None and np.isfinite(theta) and suffix[i] < theta:
+            # one-way switch: θ only grows and suffix only shrinks, so
+            # every term from here on is non-essential — freeze the
+            # candidate set (no unseen doc can reach θ anymore)
+            if not touched:
+                return _EMPTY()
+            cand = np.unique(np.concatenate(touched))
+            cand = cand[~dead[cand]]
+        if cand is not None:
+            # candidate-driven: pre-kill against θ with zero IO, then
+            # decode only the blocks that can contain survivors
+            keep = scores[cand] + suffix[i] >= theta
+            dead[cand[~keep]] = True
+            cand = cand[keep]
+            if cand.size == 0:
+                return _EMPTY()
+            hit, tfv = lp.lookup(cand)
+            if hit.any():
+                sids = cand[hit]
+                stfs = tfv[hit]
+                norm = stfs / (stfs + k1 * (1.0 - b + b * dls[sids] / avgdl))
+                scores[sids] += idfs[t] * norm
+                if cand.size >= k:
+                    theta = np.partition(scores[cand], cand.size - k)[cand.size - k]
+            continue
+        ids, tfs = lp.decode_all()
         alive = ~dead[ids]
         if theta > 0.0 and i > 0:
             # per-posting block-max bound for THIS term + global ubs of the rest
@@ -107,14 +233,15 @@ def _score_segment_pruned(
             touched.append(sids)
             n_seen += sel.size
             if n_seen >= k:
-                cand = np.unique(np.concatenate(touched))
-                cand = cand[~dead[cand]]
-                if cand.size >= k:
-                    theta = np.partition(scores[cand], cand.size - k)[cand.size - k]
-    if not touched:
-        return _EMPTY()
-    cand = np.unique(np.concatenate(touched))
-    cand = cand[~dead[cand]]
+                c = np.unique(np.concatenate(touched))
+                c = c[~dead[c]]
+                if c.size >= k:
+                    theta = np.partition(scores[c], c.size - k)[c.size - k]
+    if cand is None:
+        if not touched:
+            return _EMPTY()
+        cand = np.unique(np.concatenate(touched))
+        cand = cand[~dead[cand]]
     if cand.size == 0:
         return _EMPTY()
     s = scores[cand]
@@ -123,17 +250,18 @@ def _score_segment_pruned(
         keep = np.flatnonzero(-s <= thresh)
         cand, s = cand[keep], s[keep]
     order_ix = np.lexsort((cand, -s))[:k]
-    winners = cand[order_ix]
+    winners = np.sort(cand[order_ix])
     # exact rescore in sorted-term order → byte-identical to dense path
+    # (winner lookups decode only blocks containing winners, usually
+    # already cached from the scoring passes)
     final = np.zeros(winners.size, dtype=np.float64)
     for t in sorted(term_rows):
-        ids, tfs, _ = term_rows[t]
-        pos = np.searchsorted(ids, winners)
-        pos = np.clip(pos, 0, ids.size - 1)
-        hit = ids[pos] == winners
-        tf = tfs[pos[hit]]
-        w = winners[hit]
-        final[hit] += idfs[t] * (tf / (tf + k1 * (1.0 - b + b * dls[w] / avgdl)))
+        lp, _ = term_rows[t]
+        hit, tfv = lp.lookup(winners)
+        if hit.any():
+            tf = tfv[hit]
+            w = winners[hit]
+            final[hit] += idfs[t] * (tf / (tf + k1 * (1.0 - b + b * dls[w] / avgdl)))
     order2 = np.lexsort((winners, -final))
     return pd.DataFrame(
         {"doc_id": (winners[order2] + base).astype(np.int64), "score": final[order2]}
@@ -148,6 +276,7 @@ def _score_segment(
     avgdl: float,
     k: int,
     mode: str,
+    block: int,
     deleted: np.ndarray | None = None,
 ) -> pd.DataFrame:
     n_docs = int(pdf["n_docs"].iloc[0])
@@ -162,7 +291,7 @@ def _score_segment(
             continue
         n_terms += 1
         ids_b, tfs_b = rows[term]
-        ids = (delta_decode(ids_b).astype(np.int64) - base)
+        ids = (delta_decode_blocked(ids_b, block).astype(np.int64) - base)
         tfs = varint_decode(tfs_b).astype(np.float64)
         norm = tfs / (tfs + k1 * (1.0 - b + b * dls[ids] / avgdl))
         scores[ids] += idfs[term] * norm
@@ -209,7 +338,9 @@ def bm25_topk(
         return spark.createDataFrame([], "doc_id long, score double")
 
     cols = ["seg_id", "term", "doc_ids_bin", "tfs_bin"] + (
-        ["block_maxes"] if prune else []
+        ["block_maxes", "block_id_offs", "block_tf_offs", "block_first_ids", "df_local"]
+        if prune
+        else []
     )
     post = cat.postings([(field, t) for t in sorted(idfs)]).select(*cols)
     meta = cat.seg_meta().select("seg_id", "n_docs", "base_doc_id", "dl_bin")
@@ -226,7 +357,7 @@ def bm25_topk(
             return _EMPTY()
         if use_prune:
             return _score_segment_pruned(pdf, idfs, k1, b, avgdl, k, block, deleted)
-        return _score_segment(pdf, idfs, k1, b, avgdl, k, mode, deleted)
+        return _score_segment(pdf, idfs, k1, b, avgdl, k, mode, block, deleted)
 
     if tomb is None:
 

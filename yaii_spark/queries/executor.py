@@ -28,7 +28,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from yaii_spark.codec import delta_decode
+from yaii_spark.codec import delta_decode_blocked
 from yaii_spark.queries import ast as A
 from yaii_spark.storage import IndexCatalog
 
@@ -68,7 +68,15 @@ def _ordered_window(qs: list, slop: int) -> bool:
 def _eval_phrase(node: A.Phrase, pos_map: dict) -> np.ndarray:
     """Phrase/proximity over decoded positions: intersect doc ids
     (smallest list leads, like the conjunction path), then verify the
-    in-order window condition per surviving doc."""
+    in-order window condition.
+
+    slop=0 (the common case) is fully vectorized: per term j, the
+    candidate docs' positions flatten into composite keys
+    (doc_rank << 32) | (pos − j); intersecting the key sets across
+    terms leaves exactly the docs with an aligned adjacency window —
+    no per-doc Python loop, so even a stopword-grade two-term phrase
+    whose candidate set is segment-sized stays numpy-bound (VERDICT r2
+    #6). slop>0 keeps the greedy minimal-chain walk per candidate."""
     entries = []
     for t in node.terms:
         e = pos_map.get((node.field_name, t))
@@ -80,6 +88,23 @@ def _eval_phrase(node: A.Phrase, pos_map: dict) -> np.ndarray:
         if cand.size == 0:
             return cand
         cand = np.intersect1d(cand, ids, assume_unique=True)
+    if cand.size == 0 or len(entries) == 1:
+        return cand.astype(np.int64)
+    if node.slop == 0:
+        acc = None
+        for j, (ids, plists) in enumerate(entries):
+            idxs = np.searchsorted(ids, cand)
+            pls = [plists[int(ix)].astype(np.int64) for ix in idxs]
+            reps = np.fromiter((p.size for p in pls), dtype=np.int64, count=len(pls))
+            flat = np.concatenate(pls)
+            ranks = np.repeat(np.arange(cand.size, dtype=np.int64), reps)
+            off = flat - j
+            m = off >= 0  # pos<j can't start an aligned window
+            keys = (ranks[m] << np.int64(32)) | off[m]
+            acc = keys if acc is None else np.intersect1d(acc, keys, assume_unique=True)
+            if acc.size == 0:
+                return np.empty(0, dtype=np.int64)
+        return cand[np.unique(acc >> np.int64(32))].astype(np.int64)
     out = []
     for d in cand:
         qs = [
@@ -198,6 +223,7 @@ def _eval_token_tree(cat: IndexCatalog, node: A.Node) -> DataFrame:
         ["tfs_bin", "pos_bin"] if want_pos else []
     )
     post = cat.postings(terms, scans=scans).select(*cols)
+    block = cat.corpus_stats().block_size  # delta restarts per block (v4)
     meta = cat.seg_meta().select("seg_id", "n_docs", "base_doc_id")
     if _needs_universe(node):
         # NOT/ALL need every segment, even term-free ones
@@ -214,7 +240,7 @@ def _eval_token_tree(cat: IndexCatalog, node: A.Node) -> DataFrame:
         n_docs = int(pdf["n_docs"].iloc[0])
         base = int(pdf["base_doc_id"].iloc[0])
         postings = {
-            (f, t): delta_decode(b).astype(np.int64) - base
+            (f, t): delta_decode_blocked(b, block).astype(np.int64) - base
             for f, t, b in zip(pdf["field"], pdf["term"], pdf["doc_ids_bin"])
             if t is not None and b is not None
         }

@@ -2,7 +2,8 @@
 
 Layout (SURVEY.md §7.0). An index directory holds five tables:
 
-    <root>/docs/         docs partitioned by seg_id (stored fields + dl)
+    <root>/docs/         docs partitioned by seg_id (stored fields; doc
+                          lengths live in seg_meta.dl_bin, not here)
     <root>/postings/     (term, df_local, cf_local, doc_ids_bin, tfs_bin,
                           pos_bin, block_maxes, max_norm) partitioned by
                           seg_id, sorted by term within files so parquet
@@ -34,7 +35,9 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 # bump when the on-disk layout changes (cache invalidation)
-FORMAT_VERSION = 3
+# v4: blocked posting layout — delta restarts at block boundaries +
+# per-block byte offsets / first doc ids (lazy MaxScore block decode)
+FORMAT_VERSION = 4
 
 # term_stats is hash-partitioned into this many bucket dirs so the
 # corpus dictionary (10^8-10^9 terms at web scale) is written by many
@@ -142,6 +145,7 @@ class IndexCatalog:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
+        self._stats: CorpusStats | None = None
 
     def path(self, table: str) -> str:
         return os.path.join(self.root, table)
@@ -158,15 +162,20 @@ class IndexCatalog:
         )
 
     def corpus_stats(self) -> CorpusStats:
-        row = read_table(self.spark, self.path("corpus_stats")).collect()[0]
-        d = row.asDict()
-        return CorpusStats(
-            n_docs=row.n_docs, avgdl=row.avgdl, k1=row.k1, b=row.b,
-            seg_size=row.seg_size,
-            # pre-v3 indexes predate the persisted block size; they were
-            # all written with the 128 default
-            block_size=int(d.get("block_size") or 128),
-        )
+        # memoized: corpus_stats is immutable per index generation, and
+        # every query path needs it (one 1-row job per catalog, not per
+        # query)
+        if self._stats is None:
+            row = read_table(self.spark, self.path("corpus_stats")).collect()[0]
+            d = row.asDict()
+            self._stats = CorpusStats(
+                n_docs=row.n_docs, avgdl=row.avgdl, k1=row.k1, b=row.b,
+                seg_size=row.seg_size,
+                # pre-v3 indexes predate the persisted block size; they
+                # were all written with the 128 default
+                block_size=int(d.get("block_size") or 128),
+            )
+        return self._stats
 
     def docs(self) -> DataFrame:
         return read_table(self.spark, self.path("docs"))

@@ -32,13 +32,71 @@ class QueryMode(Enum):
     FUTURE = "future"
 
 
+def _phrase_match(col: Column, terms: list[str], slop: int) -> Column:
+    """Relational phrase/proximity over a token-array column (pure
+    Catalyst HOFs — no Python in the per-batch hot path).
+
+    Engine semantics (executor._ordered_window): ∃ positions
+    p_0 < p_1 < … matching the terms in order with p_j ≥ p_{j-1}+1 and
+    p_{last} − p_0 ≤ slop + len − 1. Compiled as nested EXISTS over
+    per-term position windows: term k may sit anywhere in
+    (p_{k-1}, p_0 + slop + k] — the same existence condition the
+    engine's greedy minimal chain decides."""
+    size = F.size(col)
+    n = len(terms)
+
+    def chain(k: int, prev: Column, p0: Column) -> Column:
+        if k == n:
+            return F.lit(True)
+        lo = prev + F.lit(1)
+        hi = F.least(p0 + F.lit(slop + k), size)
+        seq = F.when(hi >= lo, F.sequence(lo, hi)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.exists(
+            seq,
+            lambda p: (F.element_at(col, p) == terms[k]) & chain(k + 1, p, p0),
+        )
+
+    starts = F.when(size >= 1, F.sequence(F.lit(1), size)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.exists(
+        starts, lambda p: (F.element_at(col, p) == terms[0]) & chain(1, p, p)
+    )
+
+
 def compile_predicate(node: A.Node, tokens_col: str = "_tokens") -> Column:
     """Compile a boolean AST to a relational Column predicate over a
     tokenized row — the per-batch evaluation form used for streams
-    (and usable as a full-scan fallback for batch)."""
+    (and usable as a full-scan fallback for batch). Covers the full
+    batch AST except CachedFilter, whose semantics are tied to the
+    indexed snapshot (a new stream doc can't be in a filter cached over
+    committed postings — parity with the reference, which evaluates
+    FUTURE filters on fresh batches only,
+    /root/reference/src/base-inverted-index.ts:457-489)."""
+
+    def tok_col(field_name: str) -> Column:
+        return F.col("_all_tokens" if field_name == "_all" else tokens_col)
+
     if isinstance(node, A.Token):
-        col = "_all_tokens" if node.field_name == "_all" else tokens_col
-        return F.array_contains(F.col(col), node.term)
+        return F.array_contains(tok_col(node.field_name), node.term)
+    if isinstance(node, A.Phrase):
+        return _phrase_match(tok_col(node.field_name), list(node.terms), node.slop)
+    if isinstance(node, A.TokenRange):
+        def in_range(t: Column) -> Column:
+            c = F.lit(True)
+            if node.lo is not None:
+                c = c & (t >= node.lo if node.lo_inclusive else t > node.lo)
+            if node.hi is not None:
+                c = c & (t <= node.hi if node.hi_inclusive else t < node.hi)
+            return c
+
+        return F.exists(tok_col(node.field_name), in_range)
+    if isinstance(node, A.TextContains):
+        return F.exists(
+            tok_col(node.field_name), lambda t: t.contains(node.needle)
+        )
     if isinstance(node, A.All):
         return F.lit(True)
     if isinstance(node, A.NoneNode):
