@@ -53,6 +53,19 @@ RULE_FIELD_RULES = [
 ]
 
 
+# one IndexCatalog per index dir: the catalog memoizes corpus_stats
+# (block size etc.), so reusing it keeps query paths at zero extra
+# driver jobs instead of one 1-row collect per query
+_CATALOGS: dict[str, IndexCatalog] = {}
+
+
+def _catalog(spark: SparkSession, out: str) -> IndexCatalog:
+    cat = _CATALOGS.get(out)
+    if cat is None or cat.spark is not spark:
+        cat = _CATALOGS[out] = IndexCatalog(spark, out)
+    return cat
+
+
 def get_index(
     spark: SparkSession, sf_dir: str, seg_size: int = 1024, variant: str = "default"
 ) -> IndexCatalog:
@@ -60,7 +73,7 @@ def get_index(
         f"{sf_dir}|{seg_size}|{variant}|v{FORMAT_VERSION}".encode()
     ).hexdigest()[:12]
     out = os.path.join(_CACHE_ROOT, tag)
-    cat = IndexCatalog(spark, out)
+    cat = _catalog(spark, out)
     if not cat.exists():
         fields = None
         if variant == "rule":
@@ -94,7 +107,7 @@ def get_events_index(spark, sf_dir: str, seg_size: int = 2048) -> IndexCatalog:
         f"{sf_dir}|events|{seg_size}|v{FORMAT_VERSION}".encode()
     ).hexdigest()[:12]
     out = os.path.join(_CACHE_ROOT, tag)
-    cat = IndexCatalog(spark, out)
+    cat = _catalog(spark, out)
     if not cat.exists():
         ev = _tbl(spark, sf_dir, "events").select(
             F.col("event_id").alias("doc_id"),
