@@ -1,13 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 Thin wrapper over yaii_spark.entrypoint — the PySpark-native
-inverted-index + BM25 engine (see SURVEY.md). All 45 queries() entries
+inverted-index + BM25 engine (see SURVEY.md). All 46 queries() entries
 have a matching oracle_sql() DuckDB statement (since round 2 this
 includes q_simhash — md5-family bit-sign sums restated in SQL — and
 q_ann_lsh, whose hyperplane constants are embedded as SQL literals;
 round 3 adds q_ts_range — a timestamp-typed NumberRange through the
-events-table index — and moves q_ann_lsh onto a materialized
-bucket-partitioned ANN table).
+events-table index — and q_bm25_pruned — the MaxScore/lazy-block path
+checked value-exact against the same SQL restatement as the exact
+path — and moves q_ann_lsh onto a materialized bucket-partitioned ANN
+table).
 """
 
 from __future__ import annotations

@@ -238,9 +238,9 @@ def _bool_q(node_fn):
     return run
 
 
-def _bm25_q(terms, k=10, mode="or"):
+def _bm25_q(terms, k=10, mode="or", prune=False):
     def run(spark, sf_dir):
-        out = bm25_topk(get_index(spark, sf_dir), terms, k=k, mode=mode)
+        out = bm25_topk(get_index(spark, sf_dir), terms, k=k, mode=mode, prune=prune)
         return _round(out, "score")
 
     return run
@@ -491,6 +491,10 @@ def queries():
         "q_bm25_rare": _bm25_q(["dup"]),
         "q_bm25_mixed": _bm25_q(["dup", "batch"]),
         "q_bm25_and": _bm25_q(["batch", "small"], mode="and"),
+        # MaxScore/block-max pruned path at the public gate: the lazy
+        # per-block decode must stay rank- AND value-identical to the
+        # exact SQL restatement (same oracle shape as the exact query)
+        "q_bm25_pruned": _bm25_q(["dup", "batch", "small"], prune=True),
         # aggregations (A1-A5)
         "q_count_filtered": q_count_filtered,
         "q_first": q_first,
@@ -575,6 +579,7 @@ def oracle_sql():
         "q_bm25_rare": _bm25_sql(["dup"], 10, "or"),
         "q_bm25_mixed": _bm25_sql(["dup", "batch"], 10, "or"),
         "q_bm25_and": _bm25_sql(["batch", "small"], 10, "and"),
+        "q_bm25_pruned": _bm25_sql(["dup", "batch", "small"], 10, "or"),
         "q_count_filtered": f"WITH {_TOK_CTE} SELECT count(*) AS n_docs FROM tok WHERE {_contains_sql('dup')}",
         "q_first": "SELECT doc_id, n_chars FROM documents ORDER BY n_chars ASC, doc_id ASC LIMIT 1",
         "q_first_multi": "SELECT doc_id, lang, n_chars FROM documents "

@@ -128,14 +128,34 @@ def compile_predicate(node: A.Node, tokens_col: str = "_tokens") -> Column:
     raise TypeError(node)
 
 
+def _token_fields(node: A.Node) -> set[str]:
+    """Field names whose token arrays the predicate actually reads."""
+    if isinstance(node, (A.Token, A.Phrase, A.TokenRange, A.TextContains)):
+        return {node.field_name}
+    if isinstance(node, (A.And, A.Or)):
+        out: set[str] = set()
+        for c in node.children:
+            out |= _token_fields(c)
+        return out
+    if isinstance(node, A.Not):
+        return _token_fields(node.child)
+    return set()
+
+
 def _filtered(df: DataFrame, query: A.Node, text_col: str) -> DataFrame:
     q = A.rewrite(query)
-    return (
-        df.withColumn("_tokens", tokenize_udf(F.col(text_col)))
-        .withColumn("_all_tokens", tokenize_all_udf(F.col(text_col)))
-        .filter(compile_predicate(q))
-        .drop("_tokens", "_all_tokens")
-    )
+    fields = _token_fields(q)
+    # tokenize only the streams the predicate reads — per-batch UDF
+    # work is the stream's hot path, so an attribute-only or
+    # single-field query never pays for the unused token column
+    added = []
+    if any(f != "_all" for f in fields):
+        df = df.withColumn("_tokens", tokenize_udf(F.col(text_col)))
+        added.append("_tokens")
+    if "_all" in fields:
+        df = df.withColumn("_all_tokens", tokenize_all_udf(F.col(text_col)))
+        added.append("_all_tokens")
+    return df.filter(compile_predicate(q)).drop(*added)
 
 
 def continuous_query(
