@@ -427,6 +427,58 @@ def test_ann_index_partition_pruning(spark, emb, tmp_path):
     assert [(r.vec_id, r.cosine) for r in got2.collect()] == fly2
 
 
+def test_connected_components(spark):
+    """Near-dup clustering: components == a pure-Python union-find on
+    chains (the worst case for plain label propagation — pointer
+    jumping must converge within the round cap), stars, cliques, and a
+    seeded random graph; singletons keep their own id via
+    assign_clusters."""
+    import random
+
+    from yaii_spark.ops.dedup import assign_clusters, connected_components
+
+    def uf_oracle(n_nodes, edges):
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # min id per component
+        comp = {}
+        for v in range(n_nodes):
+            comp.setdefault(find(v), []).append(v)
+        return {v: min(vs) for vs in comp.values() for v in vs}
+
+    cases = {
+        "chain": [(i, i + 1) for i in range(100)],
+        "star": [(50, i) for i in range(40)],
+        "two_cliques": [(a, b) for a in range(5) for b in range(a + 1, 5)]
+        + [(a, b) for a in range(10, 15) for b in range(a + 1, 15)],
+    }
+    rng = random.Random(7)
+    cases["random"] = [(rng.randrange(200), rng.randrange(200)) for _ in range(120)]
+    for name, edges in cases.items():
+        e = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {r.node: r.cluster for r in connected_components(e).collect()}
+        nodes = {x for ab in edges for x in ab}
+        want = uf_oracle(max(nodes) + 1, edges)
+        assert got == {v: want[v] for v in nodes}, name
+
+    # assign_clusters: every doc labeled, singletons keep their own id
+    docs = spark.range(30).select(F.col("id").alias("doc_id"))
+    e = spark.createDataFrame([(1, 2), (2, 3), (10, 20)], "id_a long, id_b long")
+    got = {r.doc_id: r.cluster_id for r in assign_clusters(docs, e).collect()}
+    assert got[1] == got[2] == got[3] == 1 and got[10] == got[20] == 10
+    assert all(got[i] == i for i in range(30) if i not in {2, 3, 20})
+
+
 def test_streaming_dedup_cross_batch(spark, tmp_path):
     """applyInPandasWithState exact dedup: an in-batch duplicate picks
     the min-id survivor; a duplicate arriving in a LATER micro-batch of

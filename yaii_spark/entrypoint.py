@@ -309,6 +309,32 @@ def q_ngram_jaccard_adjacent(spark, sf_dir):
     return D.ngram_jaccard(docs, pairs.select("id_a", "id_b"))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERING: adjacent-doc unigram-Jaccard edges (≥0.8)
+    → distributed connected components (min-label + pointer jumping) →
+    (doc_id, cluster_id) for every doc, cluster id = min doc id of the
+    component. The oracle recomputes the same edges and closes them
+    with a recursive CTE."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")
+        ).alias("t"),
+    )
+    a = toks.select(F.col("doc_id").alias("id_a"), F.col("t").alias("ta"))
+    b = toks.select(F.col("doc_id").alias("id_b"), F.col("t").alias("tb"))
+    jac = F.size(F.array_intersect("ta", "tb")) / F.greatest(
+        F.size(F.array_union("ta", "tb")), F.lit(1)
+    )
+    edges = (
+        a.join(b, F.col("id_b") == F.col("id_a") + 1)
+        .filter(jac >= 0.8)
+        .select("id_a", "id_b")
+    )
+    return D.assign_clusters(docs.select("doc_id"), edges)
+
+
 def q_simhash(spark, sf_dir):
     # simhash() also emits n_tokens (the default length-band key for
     # simhash_candidates); the oracle restates the fingerprint only
@@ -504,6 +530,7 @@ def queries():
         "q_buckets": q_buckets,
         # dedup family
         "q_dedup_exact": q_dedup_exact,
+        "q_dedup_clusters": q_dedup_clusters,
         "q_minhash_sig": q_minhash_sig,
         "q_ngram_jaccard_adjacent": q_ngram_jaccard_adjacent,
         "q_simhash": q_simhash,
@@ -601,6 +628,22 @@ WHERE list_contains(
         "FROM documents GROUP BY 1",
         "q_dedup_exact": f"SELECT md5({norm}) AS content_hash, min(doc_id) AS keep_id, "
         "count(*) AS n_docs FROM documents GROUP BY 1",
+        "q_dedup_clusters": f"""
+WITH tok AS (SELECT doc_id, list_distinct(regexp_split_to_array(trim({norm}), '\\s+')) AS t FROM documents),
+e AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM tok a JOIN tok b ON b.doc_id = a.doc_id + 1
+  WHERE len(list_intersect(a.t, b.t))::DOUBLE / greatest(len(list_distinct(a.t || b.t)), 1) >= 0.8),
+sym AS (SELECT id_a AS a, id_b AS b FROM e UNION SELECT id_b, id_a FROM e),
+rec AS (
+  WITH RECURSIVE reach(a, b) AS (
+    SELECT a, b FROM sym
+    UNION
+    SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+  ) SELECT * FROM reach)
+SELECT d.doc_id, least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
+FROM documents d LEFT JOIN rec r ON r.a = d.doc_id
+GROUP BY d.doc_id""",
         "q_minhash_sig": f"""
 WITH tok AS (SELECT doc_id, regexp_split_to_array(trim({norm}), '\\s+') AS toks FROM documents),
 sh AS (SELECT doc_id, {shingle} AS sh FROM tok)

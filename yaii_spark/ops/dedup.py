@@ -344,6 +344,105 @@ def simhash_candidates(
     )
 
 
+def connected_components(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iters: int = 50
+) -> DataFrame:
+    """Connected components over a candidate-pair edge list →
+    (node, cluster) with cluster = MIN node id in the component — the
+    step that turns pairwise near-dup candidates (MinHash/SimHash/
+    embedding pairs) into dedup groups.
+
+    Algorithm: min-label propagation fused with POINTER JUMPING
+    (union-find path halving): each round every node takes the min of
+    its own label, its neighbors' labels, and its label's label. The
+    jump makes label chains collapse geometrically, so convergence is
+    O(log n) rounds even on path graphs where plain neighbor
+    propagation needs O(diameter) (the same round count as
+    large-star/small-star, Kiveris et al. "Connected Components in
+    MapReduce and Beyond", SoCC'14). Every round is two shuffles
+    (edge join + label self-join); `localCheckpoint` truncates the
+    iterative lineage so Catalyst planning stays O(1) per round.
+    Exactness does not depend on the round bound: the loop runs until
+    a fixpoint (no label changed) and raises if `max_iters` is hit
+    first."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.groupBy("a")
+        .agg(F.min("b").alias("nb"))
+        .select(F.col("a").alias("node"), F.least("a", "nb").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        nbr = (
+            sym.join(
+                labels.select(F.col("node").alias("b"), F.col("label").alias("lb")),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("lb").alias("nl"))
+            .select(F.col("a").alias("node"), "nl")
+        )
+        stepped = labels.join(nbr, "node", "left").select(
+            "node", F.least("label", F.coalesce("nl", "label")).alias("label")
+        )
+        jumped = (
+            stepped.alias("x")
+            .join(
+                stepped.select(
+                    F.col("node").alias("jn"), F.col("label").alias("jl")
+                ),
+                F.col("x.label") == F.col("jn"),
+                "left",
+            )
+            .select(
+                F.col("x.node").alias("node"),
+                F.least(F.col("x.label"), F.coalesce("jl", F.col("x.label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            jumped.select("node", F.col("label").alias("new_label"))
+            .join(labels, "node")
+            .filter(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds"
+        )
+    sym.unpersist()
+    return labels.select("node", F.col("label").alias("cluster"))
+
+
+def assign_clusters(
+    docs: DataFrame, edges: DataFrame, id_col: str = "doc_id",
+    src: str = "id_a", dst: str = "id_b",
+) -> DataFrame:
+    """(id_col, cluster_id) for EVERY doc: component min-id for docs in
+    the edge graph, own id for singletons — the dedup-survivor table
+    (keep rows where doc_id == cluster_id)."""
+    cc = connected_components(edges, src=src, dst=dst)
+    return docs.select(id_col).join(
+        cc.select(F.col("node").alias(id_col), "cluster"), id_col, "left"
+    ).select(
+        F.col(id_col),
+        F.least(F.col(id_col), F.coalesce("cluster", F.col(id_col))).alias(
+            "cluster_id"
+        ),
+    )
+
+
 def ngram_jaccard(
     df: DataFrame, pairs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
