@@ -146,6 +146,10 @@ class IndexCatalog:
         self.spark = spark
         self.root = root
         self._stats: CorpusStats | None = None
+        # (field, term) -> (df, cf) | None(=absent); an index generation
+        # is immutable (rebuilds land in a new dir), so dictionary
+        # lookups memoize like any engine's term-dictionary cache
+        self._ts_cache: dict[tuple[str, str], tuple[int, int] | None] = {}
 
     def path(self, table: str) -> str:
         return os.path.join(self.root, table)
@@ -252,12 +256,24 @@ class IndexCatalog:
     ) -> dict[tuple[str, str], tuple[int, int]]:
         """Driver-side (df, cf) lookup for a query's (field, term)
         pairs — the `mayMatch` plan-time pruning analogue (SURVEY.md
-        §2.2 P10): absent terms never reach an executor."""
+        §2.2 P10): absent terms never reach an executor. Results are
+        memoized per catalog (absences included), so repeated query
+        terms cost zero extra jobs — the term-dictionary cache every
+        engine keeps."""
         if not field_terms:
             return {}
-        rows = self.term_stats_query(field_terms).collect()
-        want = set(field_terms)
-        return {(r.field, r.term): (r.df, r.cf) for r in rows if (r.field, r.term) in want}
+        missing = [ft for ft in set(field_terms) if ft not in self._ts_cache]
+        if missing:
+            rows = self.term_stats_query(missing).collect()
+            found = {(r.field, r.term): (r.df, r.cf) for r in rows}
+            for ft in missing:
+                self._ts_cache[ft] = found.get(ft)
+        out = {}
+        for ft in field_terms:
+            v = self._ts_cache.get(ft)
+            if v is not None:
+                out[ft] = v
+        return out
 
     def term_stats_query(self, field_terms: list[tuple[str, str]]) -> DataFrame:
         """The pruned dictionary lookup as a DataFrame (plan-testable):
