@@ -97,6 +97,37 @@ def test_bm25_deterministic_across_parallelism(corpus, spark):
     assert a == b
 
 
+def test_bm25_pruned_with_tombstones(spark, work_dir):
+    """MaxScore + deletes: tombstoning the current top docs must demote
+    them in BOTH paths identically (dead-marking happens before any
+    pruning decision), and pruned == exact after the delete."""
+    from yaii_spark.indexer import build_index, delete_docs
+
+    pages = gen_pages(spark, 600, include_fixtures=True)
+    idx = f"{work_dir}/prune_tomb_idx"
+    build_index(spark, pages, idx, seg_size=128)
+    cat = IndexCatalog(spark, idx)
+    oracle = BruteForceIndex(
+        {r.doc_id: r.text for r in pages.select("doc_id", "text").collect()}
+    )
+    common, _ = _freq_ordered_terms(oracle)
+    q = [common[0], common[3]]
+    top_before = [r.doc_id for r in bm25_topk(cat, q, k=5, prune=True).collect()]
+    delete_docs(spark, idx, top_before[:3])
+    exact = [(r.doc_id, r.score) for r in bm25_topk(cat, q, k=10, prune=False).collect()]
+    pruned = [(r.doc_id, r.score) for r in bm25_topk(cat, q, k=10, prune=True).collect()]
+    assert exact == pruned
+    got_ids = {d for d, _ in pruned}
+    assert got_ids.isdisjoint(set(top_before[:3]))
+    # oracle on the surviving docs agrees
+    want = [
+        (d, s)
+        for d, s in oracle.bm25_topk(q, k=13)
+        if d not in set(top_before[:3])
+    ][:10]
+    assert [d for d, _ in pruned] == [d for d, _ in want]
+
+
 def test_lazy_block_decode_skips_blocks(spark, work_dir):
     """v4 lazy MaxScore: a rare+stopword-grade query on a skewed corpus
     must (a) return byte-identical results to the dense path and (b)
