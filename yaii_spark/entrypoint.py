@@ -352,13 +352,16 @@ def get_ann_index(spark, sf_dir: str, dim: int, n_planes: int = 8) -> DataFrame:
     written once partitioned by lsh_bucket through the storage seam, so
     every query's probe filter is partition pruning, never an on-the-fly
     signature recompute over the corpus (VERDICT r2 #3)."""
-    from yaii_spark.storage import fs_exists
+    from yaii_spark.storage import fs_exists, iceberg_format
 
     tag = hashlib.md5(
         f"{sf_dir}|ann_lsh|{dim}|{n_planes}|v{FORMAT_VERSION}".encode()
     ).hexdigest()[:12]
     out = os.path.join(_CACHE_ROOT, tag)
-    if not fs_exists(spark, os.path.join(out, "_SUCCESS")):
+    # parquet writes a _SUCCESS marker; an Iceberg table's existence is
+    # its metadata dir (same split as IndexCatalog.exists)
+    marker = out if iceberg_format(spark) else os.path.join(out, "_SUCCESS")
+    if not fs_exists(spark, marker):
         S.write_ann_index(
             _emb(spark, sf_dir).filter("vec_id > 0"), out, dim=dim,
             n_planes=n_planes,

@@ -364,7 +364,13 @@ def connected_components(
     iterative lineage so Catalyst planning stays O(1) per round.
     Exactness does not depend on the round bound: the loop runs until
     a fixpoint (no label changed) and raises if `max_iters` is hit
-    first."""
+    first.
+
+    Fault tolerance: `localCheckpoint` trades lineage for executor-local
+    blocks — an executor loss mid-computation fails the job (rerun the
+    call). For very long cluster runs, set
+    `spark.sparkContext.setCheckpointDir(...)` and swap in reliable
+    `.checkpoint()`; the algorithm is unchanged."""
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))

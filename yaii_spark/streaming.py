@@ -125,6 +125,12 @@ def compile_predicate(node: A.Node, tokens_col: str = "_tokens") -> Column:
         return cond
     if isinstance(node, A.HasField):
         return F.col(node.field_name).isNotNull()
+    if isinstance(node, A.CachedFilter):
+        raise TypeError(
+            "CachedFilter is snapshot-scoped and cannot apply to future "
+            "batches (a new stream doc is never in a filter cached over "
+            "committed postings); evaluate the underlying query instead"
+        )
     raise TypeError(node)
 
 
