@@ -185,6 +185,106 @@ def test_lazy_block_decode_skips_blocks(spark, work_dir):
     assert np.allclose(pruned["score"], exact["score"], rtol=0, atol=0)
 
 
+def test_pruned_equals_dense_property():
+    """Hypothesis: on random segments (tiny block size 4 → block
+    boundaries everywhere), random queries, random k, and random
+    tombstones, the lazy MaxScore path returns doc-for-doc,
+    byte-for-byte the dense scorer's answer. Pure driver-side — no
+    Spark session."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from yaii_spark.codec import (
+        delta_encode_blocked,
+        varint_encode,
+        varint_encode_blocked,
+    )
+    from yaii_spark.queries import bm25 as B
+
+    BLOCK = 4
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.data())
+    def run(data):
+        n_docs = data.draw(st.integers(10, 120), label="n_docs")
+        base = data.draw(st.sampled_from([0, 1024, 4096]), label="base")
+        dls = np.array(
+            data.draw(
+                st.lists(st.integers(1, 40), min_size=n_docs, max_size=n_docs),
+                label="dls",
+            ),
+            dtype=np.uint64,
+        )
+        avgdl = float(dls.mean())
+        n_terms = data.draw(st.integers(1, 5), label="n_terms")
+        rows = {
+            "term": [], "doc_ids_bin": [], "tfs_bin": [], "block_maxes": [],
+            "block_id_offs": [], "block_tf_offs": [], "block_first_ids": [],
+            "df_local": [],
+        }
+        idfs = {}
+        for t in range(n_terms):
+            df_t = data.draw(st.integers(1, n_docs), label=f"df{t}")
+            local = np.sort(
+                np.random.RandomState(df_t * 31 + t).choice(
+                    n_docs, size=df_t, replace=False
+                )
+            ).astype(np.int64)
+            tfs = np.array(
+                data.draw(
+                    st.lists(st.integers(1, 6), min_size=df_t, max_size=df_t),
+                    label=f"tfs{t}",
+                ),
+                dtype=np.uint64,
+            )
+            ids = (local + base).astype(np.uint64)
+            norms = tfs.astype(np.float64) / (
+                tfs + 1.2 * (1 - 0.75 + 0.75 * dls[local].astype(np.float64) / avgdl)
+            )
+            nblocks = math.ceil(ids.size / BLOCK)
+            bmax = [
+                float(norms[i * BLOCK : (i + 1) * BLOCK].max()) for i in range(nblocks)
+            ]
+            ids_bin, id_offs = delta_encode_blocked(ids, BLOCK)
+            tfs_bin, tf_offs = varint_encode_blocked(tfs, BLOCK)
+            rows["term"].append(f"t{t}")
+            rows["doc_ids_bin"].append(ids_bin)
+            rows["tfs_bin"].append(tfs_bin)
+            rows["block_maxes"].append(bmax)
+            rows["block_id_offs"].append([int(x) for x in id_offs])
+            rows["block_tf_offs"].append([int(x) for x in tf_offs])
+            rows["block_first_ids"].append([int(x) for x in ids[::BLOCK]])
+            rows["df_local"].append(df_t)
+            idfs[f"t{t}"] = B.idf(n_docs, df_t)
+        pdf = pd.DataFrame(rows).assign(
+            n_docs=n_docs, base_doc_id=base, dl_bin=varint_encode(dls)
+        )
+        deleted = None
+        if data.draw(st.booleans(), label="with_deletes"):
+            nd = data.draw(st.integers(1, max(1, n_docs // 3)), label="n_del")
+            deleted = (
+                np.sort(
+                    np.random.RandomState(nd).choice(n_docs, size=nd, replace=False)
+                ).astype(np.int64)
+                + base
+            )
+        k = data.draw(st.sampled_from([1, 3, 10, 50]), label="k")
+        dense = B._score_segment(
+            pdf, idfs, 1.2, 0.75, avgdl, k, "or", BLOCK, deleted
+        )
+        pruned = B._score_segment_pruned(
+            pdf, idfs, 1.2, 0.75, avgdl, k, BLOCK, deleted
+        )
+        assert list(dense["doc_id"]) == list(pruned["doc_id"])
+        assert list(dense["score"]) == list(pruned["score"])  # byte-identical
+
+    run()
+
+
 def test_bm25_pruned_equals_exact(corpus):
     """MaxScore/block-max pruning is rank-safe AND byte-identical
     (winners are rescored in sorted-term order)."""
