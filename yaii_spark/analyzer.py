@@ -204,25 +204,40 @@ def varint_read(b, off: int) -> tuple[int, int]:
         shift += 7
 
 
-def doc_postings(text: str, n_shards: int, specs: list[tuple[int, str]]):
+def doc_postings(
+    text: str, n_shards: int, specs: list[tuple[int, str]],
+    term_cache: dict | None = None,
+):
     """Tokenize + invert one document into per-shard packed entries.
 
     specs: ordered (field_id, kind) with kind in {'standard', 'all'}.
     Returns (dl, {shard: bytearray}); shard = crc32(term) % n_shards,
-    so a (field, term)'s entries always land in one shard."""
+    so a (field, term)'s entries always land in one shard.
+
+    `term_cache` memoizes term → (utf-8 bytes, shard): the encode+crc32
+    pair is term-identity work repeated for every (doc, field) a term
+    appears in — on a Zipf corpus the same few thousand terms dominate,
+    so an Arrow-batch-scoped cache (make_doc_postings_udf passes one
+    per batch, bounding its size) removes most of those calls
+    (profiled ~10%% of the stage)."""
     import zlib
 
     toks = tokenize(text)
     dl = len(toks)
     bufs: dict[int, bytearray] = {}
+    if term_cache is None:
+        term_cache = {}
     for fid, kind in specs:
         stream = toks if kind == "standard" else [t for t in toks if t not in STOPWORDS]
         agg: dict[str, list[int]] = {}
         for i, tk in enumerate(stream):
             agg.setdefault(tk, []).append(i)
         for term, pos in agg.items():
-            tb = term.encode("utf-8")
-            sh = zlib.crc32(tb) % n_shards
+            cached = term_cache.get(term)
+            if cached is None:
+                tb = term.encode("utf-8")
+                cached = term_cache[term] = (tb, zlib.crc32(tb) % n_shards)
+            tb, sh = cached
             buf = bufs.get(sh)
             if buf is None:
                 buf = bufs[sh] = bytearray()
@@ -277,12 +292,13 @@ def make_doc_postings_udf(n_shards: int, specs: list[tuple[int, str]]):
 
     def _series(s: pd.Series) -> pd.DataFrame:
         dls, blobs = [], []
+        term_cache: dict = {}  # batch-scoped: bounded by batch vocab
         for x in s:
             if x is None:
                 dls.append(None)
                 blobs.append(None)
                 continue
-            dl, bufs = doc_postings(x, n_shards, specs)
+            dl, bufs = doc_postings(x, n_shards, specs, term_cache)
             dls.append(dl)
             blobs.append(
                 [{"shard": sh, "data": bytes(b)} for sh, b in bufs.items()]
