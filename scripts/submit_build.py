@@ -44,6 +44,7 @@ def main() -> None:
 
     from yaii_spark.indexer import build_index
     from yaii_spark.session import get_spark
+    from yaii_spark.storage import read_table
 
     if args.master:
         spark = get_spark("yaii-build", master=args.master)
@@ -53,7 +54,9 @@ def main() -> None:
         spark = SparkSession.builder.appName("yaii-build").getOrCreate()
 
     path = os.path.join(args.input, args.table) if args.table else args.input
-    pages = spark.read.parquet(path)
+    # storage seam: reads the path as an Iceberg table when a catalog
+    # is configured, plain parquet otherwise
+    pages = read_table(spark, path)
     if args.id_col not in pages.columns:
         # derive a dense deterministic doc_id (stable: order by first col)
         from pyspark.sql import Window as W
