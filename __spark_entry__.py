@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 Thin wrapper over yaii_spark.entrypoint — the PySpark-native
-inverted-index + BM25 engine (see SURVEY.md). All 47 queries() entries
+inverted-index + BM25 engine (see SURVEY.md). All 48 queries() entries
 have a matching oracle_sql() DuckDB statement (since round 2 this
 includes q_simhash — md5-family bit-sign sums restated in SQL — and
 q_ann_lsh, whose hyperplane constants are embedded as SQL literals;

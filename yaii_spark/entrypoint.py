@@ -470,6 +470,21 @@ def q_window_top2_orders(spark, sf_dir):
     )
 
 
+def q_events_windowed(spark, sf_dir):
+    """Event-time tumbling-window aggregation (§2.6 — the batch form of
+    the streaming windowed-ingest operator): Spark `F.window` buckets
+    align to the epoch exactly like DuckDB's time_bucket."""
+    e = _tbl(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("win_start"), "n_events", "sum_value")
+    )
+
+
 def q_events_by_type(spark, sf_dir):
     e = _tbl(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
@@ -551,6 +566,7 @@ def queries():
         "q_revenue_by_nation": q_revenue_by_nation,
         "q_window_top2_orders": q_window_top2_orders,
         "q_events_by_type": q_events_by_type,
+        "q_events_windowed": q_events_windowed,
     }
 
 
@@ -751,6 +767,11 @@ SELECT event_type, count(*) AS n_events,
        sum(value::DECIMAL(18,4))::DOUBLE AS sum_value,
        count(DISTINCT user_id) AS n_users
 FROM events GROUP BY event_type""",
+        "q_events_windowed": """
+SELECT time_bucket(INTERVAL '1 day', ts) AS win_start,
+       count(*) AS n_events,
+       sum(value::DECIMAL(18,4))::DOUBLE AS sum_value
+FROM events GROUP BY 1""",
     }
 
 
