@@ -175,6 +175,39 @@ def test_no_giant_in_list_for_pending_segments(spark, work_dir, monkeypatch):
     assert "LeftSemi" in post_plan or "left_semi" in post_plan.lower()
 
 
+def test_null_text_pages_index_as_token_free(spark, work_dir):
+    """A page with NULL (or empty) text must index as a token-free doc
+    (dl 0, no postings) instead of crashing the dl-blob encoder — the
+    reference's termizer on a missing field yields no terms but the doc
+    still exists."""
+    from pyspark.sql import types as T
+
+    from yaii_spark.queries import ast as A
+    from yaii_spark.queries.executor import execute_boolean, search
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    rows = [(0, "alpha beta", "en"), (1, None, "en"), (2, "", "de"), (3, "beta", None)]
+    idx = f"{work_dir}/nulltext_idx"
+    build_index(
+        spark, spark.createDataFrame(rows, schema), idx, seg_size=2,
+        stored_cols=["lang"],
+    )
+    cat = IndexCatalog(spark, idx)
+    got = lambda q: {r.doc_id for r in execute_boolean(cat, q).collect()}
+    assert got(A.token("beta")) == {0, 3}
+    assert got(A.all_docs()) == {0, 1, 2, 3}  # null-text docs still exist
+    assert got(A.not_(A.token("alpha"))) == {1, 2, 3}
+    assert got(A.has_field("lang")) == {0, 1, 2}
+    # stored fields of the null-text doc are queryable
+    assert [r.lang for r in search(cat, A.number_range("doc_id", 1, 2)).collect()] == ["en"]
+
+
 def test_timestamp_range_predicate(spark, work_dir):
     """NumberRange over a TIMESTAMP attribute (the input_hint's warc_ts)
     — Catalyst comparisons + pushdown work on timestamps exactly like

@@ -346,7 +346,11 @@ def build_index(
     dp_udf = make_doc_postings_udf(postings_shards, fast_specs)
     docs = (
         tok_in.withColumn("_dp", dp_udf(F.col(text_col)))
-        .withColumn("dl", F.col("_dp.dl").cast("long"))
+        # a null text field indexes as a token-free doc (dl 0, no
+        # postings — explode of the null blob array drops the row),
+        # like the reference's termizer on a missing field; without the
+        # coalesce a single null page would crash the dl-blob encoder
+        .withColumn("dl", F.coalesce(F.col("_dp.dl").cast("long"), F.lit(0)))
         .withColumn("seg_id", (F.col(id_col) / F.lit(seg_size)).cast("long"))
     )
     docs = docs.withColumn(
