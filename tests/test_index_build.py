@@ -208,6 +208,14 @@ def test_null_text_pages_index_as_token_free(spark, work_dir):
     assert [r.lang for r in search(cat, A.number_range("doc_id", 1, 2)).collect()] == ["en"]
 
 
+def test_empty_input_build_raises(spark, work_dir):
+    """Zero input rows (an upstream filter matched nothing) must fail
+    loudly, not write a half-formed index that exists() misreports."""
+    pages = gen_pages(spark, 50, include_fixtures=False).filter("doc_id < 0")
+    with pytest.raises(ValueError, match="0 rows"):
+        build_index(spark, pages, f"{work_dir}/empty_idx", seg_size=16)
+
+
 def test_timestamp_range_predicate(spark, work_dir):
     """NumberRange over a TIMESTAMP attribute (the input_hint's warc_ts)
     — Catalyst comparisons + pushdown work on timestamps exactly like

@@ -372,7 +372,13 @@ def build_index(
         F.avg("dl").alias("avgdl"),
         F.collect_set("seg_id").alias("segs"),
     ).collect()[0]
-    n_total, avgdl = int(stats_row["n"]), float(stats_row["avgdl"])
+    n_total = int(stats_row["n"])
+    if n_total == 0:
+        # an upstream filter that matched nothing: fail loudly instead
+        # of writing a half-formed index (avgdl undefined, no postings
+        # dir) that exists() would later misreport
+        raise ValueError("build_index: input has 0 rows — nothing to index")
+    avgdl = float(stats_row["avgdl"])
     all_segs = sorted(stats_row["segs"])
 
     # ---- resume: skip segments already checkpointed ----
