@@ -67,6 +67,63 @@ def test_sorted_future_raises(spark, stream_dir):
         )
 
 
+def test_watermark_drops_late_events(spark, stream_dir, tmp_path):
+    """Late-data handling: once the watermark passes a window's end,
+    an event falling in that window is DROPPED — the closed window's
+    append-mode emission does not include it. Watermark state survives
+    across restarts via the checkpoint."""
+    import datetime as dt
+
+    from yaii_spark.synth import PAGES_SCHEMA, render_html
+
+    mk = lambda i, ts: (i, f"https://x/{i}", ts, render_html("x"), "x", "en", i)
+    t = lambda m, s: dt.datetime(2024, 1, 1, 10, m, s)
+
+    agg = windowed_ingest_stats(
+        spark, stream_dir, PAGES_SCHEMA, window="1 minute",
+        watermark="0 seconds",
+    )
+    # ONE long-lived query (watermark state lives in the running query;
+    # the memory sink cannot recover a checkpoint across restarts) —
+    # files appended between processAllAvailable calls are the "added"
+    # batches, and no-data micro-batches emit watermark-finalized
+    # windows
+    q = (
+        agg.writeStream.outputMode("append").format("memory")
+        .queryName("wm_out").trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        def feed(rows):
+            spark.createDataFrame(rows, PAGES_SCHEMA).write.mode(
+                "append"
+            ).parquet(stream_dir)
+            q.processAllAvailable()
+
+        # batch A: two on-time events; watermark advances to 10:01:10,
+        # closing window [10:00, 10:01)
+        feed([mk(0, t(0, 10)), mk(1, t(1, 10))])
+        # batch B: one LATE event into the closed 10:00 window (must be
+        # dropped) + one fresh event advancing the watermark past 10:02
+        feed([mk(2, t(0, 30)), mk(3, t(2, 30))])
+        # batch C: push the watermark far ahead so every earlier window
+        # finalizes and emits
+        feed([mk(4, t(9, 0))])
+        import time as _time
+
+        for _ in range(50):  # wait for the finalizing no-data batches
+            rows = spark.sql("SELECT * FROM wm_out").collect()
+            if len({r.start.minute for r in rows}) >= 3:
+                break
+            _time.sleep(0.2)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    counts = {r.start.minute: r.n_docs for r in rows}
+    assert counts[0] == 1, counts  # the late 10:00:30 event was dropped
+    assert counts[1] == 1 and counts[2] == 1, counts
+
+
 def test_windowed_ingest_stats(spark, stream_dir):
     gen_pages(spark, 100, include_fixtures=False).write.mode("append").parquet(stream_dir)
     agg = windowed_ingest_stats(spark, stream_dir, PAGES_SCHEMA, window="1 minute")
