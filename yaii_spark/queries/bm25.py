@@ -122,16 +122,38 @@ class _LazyPostings:
 
     def lookup(self, sorted_local_ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """(hit_mask, tfs_of_hits) for the given sorted local ids —
-        decodes only the blocks that can contain them."""
-        hit = np.zeros(sorted_local_ids.size, dtype=bool)
-        tfs_out = np.empty(sorted_local_ids.size, dtype=np.float64)
-        for bx in self.blocks_for(sorted_local_ids):
-            ids_b, tfs_b = self.decode_block(bx)
-            pos = np.searchsorted(ids_b, sorted_local_ids)
-            pos_c = np.clip(pos, 0, ids_b.size - 1)
-            m = ids_b[pos_c] == sorted_local_ids
+        decodes only the blocks that can contain them, and each block
+        is probed only with ITS OWN slice of the query ids (ids are
+        sorted, so per-block slices are contiguous): O(|q|·log B +
+        decoded blocks), never O(B·|q|). When the ids spread over most
+        blocks anyway (a corpus-sized candidate set against a dense
+        term) a single full decode + one searchsorted is cheaper than
+        thousands of slice decodes."""
+        q = sorted_local_ids
+        hit = np.zeros(q.size, dtype=bool)
+        tfs_out = np.empty(q.size, dtype=np.float64)
+        qb = np.searchsorted(self.first_ids, q, side="right") - 1
+        valid = np.flatnonzero(qb >= 0)
+        if valid.size == 0:
+            return hit, tfs_out
+        blocks, starts = np.unique(qb[valid], return_index=True)
+        if self._full is not None or blocks.size > max(32, self.nblocks() // 2):
+            ids, tfs = self.decode_all()
+            pos = np.searchsorted(ids, q)
+            pos_c = np.clip(pos, 0, ids.size - 1)
+            m = ids[pos_c] == q
             hit |= m
-            tfs_out[m] = tfs_b[pos_c[m]]
+            tfs_out[m] = tfs[pos_c[m]]
+            return hit, tfs_out
+        bounds = np.append(starts, valid.size)
+        for j in range(blocks.size):
+            sel = valid[bounds[j] : bounds[j + 1]]
+            ids_b, tfs_b = self.decode_block(int(blocks[j]))
+            pos = np.searchsorted(ids_b, q[sel])
+            pos_c = np.clip(pos, 0, ids_b.size - 1)
+            m = ids_b[pos_c] == q[sel]
+            tfs_out[sel[m]] = tfs_b[pos_c[m]]
+            hit[sel[m]] = True
         return hit, tfs_out
 
 
@@ -217,7 +239,18 @@ def _score_segment_pruned(
             continue
         ids, tfs = lp.decode_all()
         alive = ~dead[ids]
-        if theta > 0.0 and i > 0:
+        # the kill pass can only fire if SOME posting's ceiling
+        # (zero accumulated score + its block bound + remaining ubs)
+        # sits below θ — on dense flat lists (stopword-grade terms,
+        # near-uniform block maxes) that is provably impossible and the
+        # pass would only allocate 1M-entry temporaries for nothing
+        # (measured 4x overhead vs exact at 1M docs/segment)
+        can_kill = (
+            theta > 0.0
+            and i > 0
+            and idfs[t] * float(bmax.min()) + suffix[i + 1] < theta
+        )
+        if can_kill:
             # per-posting block-max bound for THIS term + global ubs of the rest
             post_ub = idfs[t] * bmax[np.arange(ids.size) // block]
             potential = scores[ids] + post_ub + suffix[i + 1]
