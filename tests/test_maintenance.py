@@ -49,6 +49,28 @@ def test_cached_filter(spark, del_index):
         execute_boolean(cat, A.cached_filter("nope")).collect()
 
 
+def test_merge_with_sparse_term_shards(spark, work_dir):
+    """A single-distinct-term corpus leaves most of the 16 merge shards
+    META-ONLY (the posting side of the cogroup is empty) — regression
+    for the float64-dtyped empty frame that Arrow could not convert to
+    the list/binary output columns (first seen at a 1M-doc merge)."""
+    import datetime as dt
+
+    from yaii_spark.synth import EPOCH, PAGES_SCHEMA, render_html
+
+    rows = [
+        (i, f"https://x/{i}", EPOCH + dt.timedelta(seconds=i),
+         render_html("solo"), "solo", "en", i)
+        for i in range(40)
+    ]
+    src, dst = f"{work_dir}/sparse_idx", f"{work_dir}/sparse_idx2"
+    build_index(spark, spark.createDataFrame(rows, PAGES_SCHEMA), src, seg_size=10)
+    m = merge_segments(spark, src, dst, factor=4)
+    assert m["segments_after"] == 1
+    got = ids(execute_boolean(IndexCatalog(spark, dst), A.token("solo")))
+    assert got == set(range(40))
+
+
 def test_merge_preserves_results(spark, work_dir):
     src = f"{work_dir}/premerge_idx"
     dst = f"{work_dir}/postmerge_idx"

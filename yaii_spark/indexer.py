@@ -655,8 +655,16 @@ def merge_segments(
     block_size = int(srow.asDict().get("block_size") or 128)
     new_size = seg_size * factor
 
-    meta = read_table(spark, os.path.join(index_dir, "seg_meta"))
-    post = read_table(spark, os.path.join(index_dir, "postings"))
+    # seg_id returns from the partitioned layout as INT (partition
+    # inference); cast to LONG everywhere a cogroup key derives from it
+    # — int-vs-long key sides hash-partition differently and the
+    # cogroup silently mis-aligns (storage.IndexCatalog._seg_long)
+    meta = read_table(spark, os.path.join(index_dir, "seg_meta")).withColumn(
+        "seg_id", F.col("seg_id").cast("long")
+    )
+    post = read_table(spark, os.path.join(index_dir, "postings")).withColumn(
+        "seg_id", F.col("seg_id").cast("long")
+    )
 
     # ---- merged seg_meta: place old dl blobs at their offsets ----
     def merge_meta(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -703,9 +711,21 @@ def merge_segments(
             "block_id_offs", "block_tf_offs", "block_first_ids",
         ]
         if post_pdf.empty:
-            return pd.DataFrame({c: [] for c in cols})
+            # a (new_seg, shard) key can arrive meta-only from the
+            # cogroup; the empty frame must use OBJECT dtype columns —
+            # pd.DataFrame({c: []}) defaults them to float64, which
+            # Arrow cannot convert to the list/binary output types
+            # (ArrowNotImplementedError first seen at a 1M-doc merge)
+            return pd.DataFrame(columns=cols, dtype=object)
         new_seg = int(post_pdf["new_seg"].iloc[0])
         base = new_seg * new_size
+        if meta_pdf.empty:
+            # cannot happen when keys align (meta is replicated to every
+            # shard); fail with the cause instead of an opaque iloc error
+            raise ValueError(
+                f"merge: no seg_meta for (new_seg={new_seg}) — cogroup "
+                "key misalignment (check seg_id key types)"
+            )
         dls = varint_decode(meta_pdf["dl_bin"].iloc[0]).astype(np.float64)
         post_pdf = post_pdf.sort_values(["field", "term", "seg_id"], kind="mergesort")
         out = {c: [] for c in cols}
@@ -748,9 +768,11 @@ def merge_segments(
         .withColumn("shard", shard)
     )
     # replicate each merged dl blob to every shard of its segment
+    # (seg_id cast long: cogroup key alignment — see the meta/post
+    # reads above)
     meta_sharded = (
         read_table(spark, os.path.join(out_dir, "seg_meta"))
-        .select(F.col("seg_id").alias("new_seg"), "dl_bin")
+        .select(F.col("seg_id").cast("long").alias("new_seg"), "dl_bin")
         .crossJoin(spark.range(MERGE_SHARDS).select(F.col("id").alias("shard")))
     )
     write_table(

@@ -181,8 +181,17 @@ class IndexCatalog:
             )
         return self._stats
 
+    def _seg_long(self, df: DataFrame) -> DataFrame:
+        """Normalize seg_id to LONG. Parquet partition-column inference
+        reads `seg_id=N` directories back as INT; a cogroup whose other
+        side carries long keys then HASH-PARTITIONS the two sides
+        differently (murmur3 of int32 ≠ int64) and silently mis-aligns
+        groups — joins insert casts, cogroups do not. First seen as
+        empty meta groups in a 1M-doc merge."""
+        return df.withColumn("seg_id", F.col("seg_id").cast("long"))
+
     def docs(self) -> DataFrame:
-        return read_table(self.spark, self.path("docs"))
+        return self._seg_long(read_table(self.spark, self.path("docs")))
 
     def postings(
         self,
@@ -197,7 +206,7 @@ class IndexCatalog:
         (field, term), so row-group min/max stats prune equality AND
         range lookups (the B-tree-like path); contains() degrades to an
         in-segment dictionary scan by design."""
-        df = read_table(self.spark, self.path("postings"))
+        df = self._seg_long(read_table(self.spark, self.path("postings")))
         if field_terms is None and not scans:
             return df
         cond = None
@@ -224,7 +233,7 @@ class IndexCatalog:
         return df.filter(cond if cond is not None else F.lit(False))
 
     def seg_meta(self) -> DataFrame:
-        return read_table(self.spark, self.path("seg_meta"))
+        return self._seg_long(read_table(self.spark, self.path("seg_meta")))
 
     def term_stats(self) -> DataFrame:
         return read_table(self.spark, self.path("term_stats"))
