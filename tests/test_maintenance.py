@@ -49,6 +49,48 @@ def test_cached_filter(spark, del_index):
         execute_boolean(cat, A.cached_filter("nope")).collect()
 
 
+def test_uncache_filter_frees_blocks(spark, del_index):
+    from yaii_spark.queries.executor import uncache_filter
+
+    cat = del_index
+    df = cache_filter(cat, "tmp_f", A.token("abc"))
+    assert df.storageLevel.useMemory or df.storageLevel.useDisk
+    assert uncache_filter(cat, "tmp_f") == 1
+    assert not (df.storageLevel.useMemory or df.storageLevel.useDisk)
+    with pytest.raises(KeyError):
+        execute_boolean(cat, A.cached_filter("tmp_f")).collect()
+    # clearing everything (None) drops the whole registry (including
+    # filters cached by earlier tests on this shared catalog)
+    cache_filter(cat, "a1", A.token("abc"))
+    cache_filter(cat, "a2", A.token("efg"))
+    assert uncache_filter(cat) >= 2
+    assert uncache_filter(cat) == 0
+
+
+def test_catalog_evicted_on_in_place_rebuild(spark, work_dir):
+    """The entrypoint catalog memo must drop its cached term-dictionary
+    entries (absences included) when the index is rebuilt in place —
+    keyed on the commit marker's mtime (ADVICE r3)."""
+    import time
+
+    from yaii_spark.entrypoint import _catalog
+    from yaii_spark.synth import gen_pages
+
+    out = f"{work_dir}/staleness_idx"
+    build_index(spark, gen_boolean_pages(spark), out, seg_size=8, resume=False)
+    cat1 = _catalog(spark, out)
+    # memoize an absence: 'hotterm' is not in the boolean corpus but
+    # will be in the rebuilt one
+    assert cat1.term_stats_for([("text", "hotterm")]) == {}
+    assert _catalog(spark, out) is cat1  # stable while marker unchanged
+    time.sleep(0.01)  # mtime granularity is ms
+    build_index(spark, gen_pages(spark, 40, hot_fraction=1.0), out,
+                seg_size=8, resume=False)
+    cat2 = _catalog(spark, out)
+    assert cat2 is not cat1
+    assert ("text", "hotterm") in cat2.term_stats_for([("text", "hotterm")])
+
+
 def test_merge_with_sparse_term_shards(spark, work_dir):
     """A single-distinct-term corpus leaves most of the 16 merge shards
     META-ONLY (the posting side of the cogroup is empty) — regression

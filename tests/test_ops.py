@@ -152,6 +152,20 @@ def test_embedding_near_dups_blocked(emb):
         assert r.id_a < r.id_b and r.cosine >= 0.5
 
 
+def test_embedding_near_dups_all_pairs_guard(emb):
+    """block_col=None is an O(n²) cross join — must be an explicit
+    opt-in, like simhash_candidates' allow_unbanded (VERDICT r3 #3)."""
+    with pytest.raises(ValueError, match="all-pairs"):
+        embedding_near_dups(emb, threshold=0.5)
+    # the explicit opt-in still works and is a superset of the blocked run
+    few = emb.limit(30)
+    blocked = {(r.id_a, r.id_b) for r in
+               embedding_near_dups(few, block_col="label", threshold=0.5).collect()}
+    allp = {(r.id_a, r.id_b) for r in
+            embedding_near_dups(few, threshold=0.5, allow_all_pairs=True).collect()}
+    assert blocked <= allp
+
+
 def test_multimodal_plumbing(spark):
     media = gen_fake_media(spark, 20, "image")
     feats = decode_features(media, fake=True).collect()

@@ -54,15 +54,35 @@ RULE_FIELD_RULES = [
 
 
 # one IndexCatalog per index dir: the catalog memoizes corpus_stats
-# (block size etc.), so reusing it keeps query paths at zero extra
-# driver jobs instead of one 1-row collect per query
-_CATALOGS: dict[str, IndexCatalog] = {}
+# (block size etc.) and term-dictionary lookups, so reusing it keeps
+# query paths at zero extra driver jobs instead of one 1-row collect
+# per query. The memo is keyed on the commit marker's mtime: a rebuild
+# into the same path (same params, changed source data) bumps the
+# marker and evicts the stale catalog — its cached term ABSENCES would
+# otherwise silently prune live terms (ADVICE r3).
+_CATALOGS: dict[str, tuple[IndexCatalog, int | None]] = {}
+
+
+def _marker_mtime(spark: SparkSession, out: str) -> int | None:
+    from yaii_spark.storage import fs_mtime, iceberg_format
+
+    marker = (
+        os.path.join(out, "corpus_stats")
+        if iceberg_format(spark)
+        else os.path.join(out, "corpus_stats", "_SUCCESS")
+    )
+    return fs_mtime(spark, marker)
 
 
 def _catalog(spark: SparkSession, out: str) -> IndexCatalog:
-    cat = _CATALOGS.get(out)
-    if cat is None or cat.spark is not spark:
-        cat = _CATALOGS[out] = IndexCatalog(spark, out)
+    mt = _marker_mtime(spark, out)
+    ent = _CATALOGS.get(out)
+    if ent is not None:
+        cat, seen = ent
+        if cat.spark is spark and seen == mt:
+            return cat
+    cat = IndexCatalog(spark, out)
+    _CATALOGS[out] = (cat, mt)
     return cat
 
 
@@ -94,6 +114,7 @@ def get_index(
             stored_cols=["text", "lang", "source", "n_chars"],
             fields=fields,
         )
+        cat = _catalog(spark, out)  # fresh marker mtime → fresh caches
     return cat
 
 
@@ -118,6 +139,7 @@ def get_events_index(spark, sf_dir: str, seg_size: int = 2048) -> IndexCatalog:
             spark, ev, out, seg_size=seg_size,
             stored_cols=["ts", "event_type", "value", "text"],
         )
+        cat = _catalog(spark, out)
     return cat
 
 

@@ -469,10 +469,21 @@ def ngram_jaccard(
 def embedding_near_dups(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     block_col: str | None = None, threshold: float = 0.95,
+    allow_all_pairs: bool = False,
 ) -> DataFrame:
     """Pairs with cosine ≥ threshold. With a blocking column the join is
-    per-block (shuffle ∝ block sizes); without, it's all-pairs — only
-    for small dims or LSH-bucketed inputs."""
+    per-block (shuffle ∝ block sizes); without, it's an ALL-PAIRS
+    cross join — O(n²) comparisons, a non-starter beyond a few thousand
+    vectors — so the unblocked form must be requested explicitly with
+    ``allow_all_pairs=True`` (same footgun guard as
+    simhash_candidates' ``allow_unbanded``; VERDICT r3 #3: derive
+    ``block_col`` from an LSH bucket / simhash band at scale)."""
+    if block_col is None and not allow_all_pairs:
+        raise ValueError(
+            "embedding_near_dups without block_col is an all-pairs cross "
+            "join; pass a blocking column (e.g. an LSH bucket) or opt in "
+            "explicitly with allow_all_pairs=True"
+        )
     e = emb.select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("v"),

@@ -79,6 +79,19 @@ def fs_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(p))
 
 
+def fs_mtime(spark: SparkSession, path: str) -> int | None:
+    """Modification time (epoch millis) of a path via the Hadoop
+    FileSystem API, or None when it doesn't exist — the cheap staleness
+    probe entrypoint._catalog uses to drop memoized IndexCatalogs after
+    an in-place rebuild (ADVICE r3: a rebuilt index at the same hashed
+    path must not serve the old catalog's cached term stats)."""
+    fs, p = _hadoop_fs(spark, path)
+    try:
+        return int(fs.getFileStatus(p).getModificationTime())
+    except Exception:
+        return None
+
+
 def fs_delete(spark: SparkSession, path: str) -> bool:
     """Recursive delete through the Hadoop FileSystem API (the
     direct-path analogue of an Iceberg REPLACE TABLE drop; shutil.rmtree
