@@ -178,6 +178,108 @@ def test_rebuild_resume_false_removes_stale(spark, work_dir):
     assert cat.term_stats_for([("text", "the")]) == ref.term_stats_for([("text", "the")])
 
 
+def test_merge_expunges_tombstones(spark, work_dir):
+    """Purge-at-merge (VERDICT r3 #5): a merge over a tombstoned index
+    drops the deleted docs' postings (df_local shrinks), removes their
+    docs rows, carries NO tombstone table, and records the holes in
+    seg_meta.deleted_bin — while every query (NOT/ALL universes and
+    both BM25 paths included) stays identical pre/post."""
+    from yaii_spark.codec import delta_decode
+    from yaii_spark.storage import fs_exists
+
+    src, dst = f"{work_dir}/purge_src", f"{work_dir}/purge_dst"
+    pages = gen_pages(spark, 400, include_fixtures=True)
+    build_index(spark, pages, src, seg_size=50)  # 8 segments
+    dele = [3, 7] + list(range(100, 180)) + [399]
+    delete_docs(spark, src, dele)
+    a = IndexCatalog(spark, src)
+    # 'url' = VOCAB[0], the Zipf-densest term in the generated corpus
+    pre_df = sum(
+        r.df_local for r in a.postings([("text", "url")]).collect()
+    )
+    m = merge_segments(spark, src, dst, factor=4)
+    assert m["segments_after"] == 2
+    b = IndexCatalog(spark, dst)
+    # postings shrank and the tombstone table is gone
+    post_df = sum(r.df_local for r in b.postings([("text", "url")]).collect())
+    assert post_df < pre_df
+    assert not fs_exists(spark, f"{dst}/tombstones")
+    assert b.tombstones() is None
+    # holes recorded in seg_meta.deleted_bin
+    holes = set()
+    for r in b.seg_meta().collect():
+        if r.deleted_bin is not None:
+            holes |= {int(x) + r.base_doc_id for x in delta_decode(r.deleted_bin)}
+    assert holes == set(dele)
+    # docs rows expunged
+    from pyspark.sql import functions as F
+
+    assert b.docs().filter(F.col("doc_id").isin(dele[:10])).count() == 0
+    assert index_size(b) == 400 - len(dele)
+    # query identity pre/post, including universe-based NOT
+    for q in [A.token("lorem"), A.not_(A.token("url")), A.all_docs(),
+              A.phrase(["lorem", "ipsum"])]:
+        assert ids(execute_boolean(a, q)) == ids(execute_boolean(b, q)), q
+    for prune in (False, True):
+        ra = [(r.doc_id, r.score)
+              for r in bm25_topk(a, ["url", "wcsfc"], k=10, prune=prune).collect()]
+        rb = [(r.doc_id, r.score)
+              for r in bm25_topk(b, ["url", "wcsfc"], k=10, prune=prune).collect()]
+        assert ra == rb
+    # a second merge over the purged index folds deleted_bin holes
+    # forward (no tombstones this time — holes come from seg_meta)
+    dst2 = f"{work_dir}/purge_dst2"
+    merge_segments(spark, dst, dst2, factor=2)
+    c = IndexCatalog(spark, dst2)
+    assert ids(execute_boolean(c, A.not_(A.token("url")))) == ids(
+        execute_boolean(a, A.not_(A.token("url")))
+    )
+
+
+def test_delete_docs_df_distributed(spark, work_dir):
+    """DataFrame-in bulk delete (VERDICT r3 #6): tombstone 50% of the
+    corpus from a predicate without a corpus-sized driver list."""
+    from pyspark.sql import functions as F
+
+    from yaii_spark.indexer import delete_docs_df
+
+    out = f"{work_dir}/bulkdel_idx"
+    build_index(spark, gen_pages(spark, 2000, include_fixtures=False), out,
+                seg_size=512)
+    cat = IndexCatalog(spark, out)
+    victims = cat.docs().filter(F.col("doc_id") % 2 == 0).select("doc_id")
+    n = delete_docs_df(spark, out, victims)
+    assert n == 1000
+    assert index_size(cat) == 1000
+    assert ids(execute_boolean(cat, A.all_docs())) == set(range(1, 2000, 2))
+
+
+def test_format_version_gate(spark, work_dir):
+    """A mismatched on-disk format must raise 'rebuild required'
+    instead of silently misdecoding postings (ADVICE r3)."""
+    from yaii_spark.storage import write_table
+
+    out = f"{work_dir}/oldfmt_idx"
+    build_index(spark, gen_boolean_pages(spark), out, seg_size=8)
+    # forge an old-format commit marker
+    cs = spark.createDataFrame(
+        [(4, 10.0, 1.2, 0.75, 8, 128, 4)],
+        "n_docs long, avgdl double, k1 double, b double, seg_size long, "
+        "block_size long, format_version long",
+    )
+    write_table(cs, f"{out}/corpus_stats")
+    with pytest.raises(ValueError, match="rebuild"):
+        IndexCatalog(spark, out).corpus_stats()
+    # unversioned (pre-v3) corpus_stats also raises
+    cs2 = spark.createDataFrame(
+        [(4, 10.0, 1.2, 0.75, 8)],
+        "n_docs long, avgdl double, k1 double, b double, seg_size long",
+    )
+    write_table(cs2, f"{out}/corpus_stats")
+    with pytest.raises(ValueError, match="rebuild"):
+        IndexCatalog(spark, out).corpus_stats()
+
+
 def test_mass_delete_cogrouped_tombstones(spark, work_dir):
     """Tombstones at 50% of the corpus flow through the cogroup path
     (never a collected array/broadcast) and stay correct on boolean,

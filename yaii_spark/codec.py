@@ -193,3 +193,55 @@ def decode_positions(buf: bytes, tfs: np.ndarray) -> list:
         out.append(np.cumsum(d, dtype=np.uint64))
         off += tf
     return out
+
+
+# ---------------------------------------------------------------------------
+# blocked positions (FORMAT_VERSION 5): each doc's position list is
+# delta-encoded independently (restart per doc — encode_positions always
+# did this), so any BYTE RANGE aligned to doc boundaries decodes on its
+# own; v5 additionally stores the stream's byte offset at every id-block
+# boundary (same 128-doc blocks as doc_ids_bin), making position decode
+# candidate-driven: a phrase over a dense term touches only the blocks
+# holding surviving candidates instead of the corpus-scale stream
+# (VERDICT r3 #1 — the 13.9 s stopword-phrase pathology at 1M docs).
+# ---------------------------------------------------------------------------
+
+def block_offsets_from_lengths(lengths: np.ndarray, block: int) -> np.ndarray:
+    """Byte offset of the stream at each block start, given per-doc
+    encoded byte lengths (works for any per-doc concatenated stream —
+    the pos_bin writers use it on either computed or pre-encoded
+    blobs)."""
+    lengths = np.asarray(lengths, dtype=np.int64)
+    if lengths.size == 0:
+        return np.empty(0, dtype=np.int32)
+    ends = np.cumsum(lengths)
+    starts = np.concatenate(([0], ends[:-1]))
+    return starts[::block].astype(np.int32)
+
+
+def encode_positions_blocked(
+    positions_per_doc: list, block: int
+) -> tuple[bytes, np.ndarray]:
+    """encode_positions + per-block byte offsets (identical stream
+    bytes; offsets index every `block`-th doc boundary). Single pass:
+    deltas are computed once, per-doc byte lengths come from one
+    varint_lengths call over the concatenated deltas segment-summed by
+    doc."""
+    n = len(positions_per_doc)
+    counts = np.empty(n, dtype=np.int64)
+    flat = []
+    for i, pos in enumerate(positions_per_doc):
+        p = np.asarray(pos, dtype=np.uint64)
+        counts[i] = p.size
+        if p.size:
+            d = np.empty_like(p)
+            d[0] = p[0]
+            np.subtract(p[1:], p[:-1], out=d[1:])
+            flat.append(d)
+    if not flat:
+        return b"", block_offsets_from_lengths(np.zeros(n, dtype=np.int64), block)
+    alld = np.concatenate(flat)
+    cs = np.concatenate(([0], np.cumsum(varint_lengths(alld))))
+    ends = np.cumsum(counts)
+    doc_lens = cs[ends] - cs[ends - counts]
+    return varint_encode(alld), block_offsets_from_lengths(doc_lens, block)

@@ -66,8 +66,9 @@ from yaii_spark.analyzer import (
     varint_read,
 )
 from yaii_spark.codec import (
+    block_offsets_from_lengths,
     delta_encode_blocked,
-    encode_positions,
+    encode_positions_blocked,
     varint_encode,
     varint_encode_blocked,
 )
@@ -96,13 +97,16 @@ def _tf_norm(tf: np.ndarray, dl: np.ndarray, avgdl: float, k1: float, b: float) 
 
 # blocked layout (FORMAT_VERSION 4): delta restarts + per-block byte
 # offsets and first doc ids, so the query side can decode single blocks
-# (codec.delta_encode_blocked; bm25 lazy MaxScore is the consumer)
+# (codec.delta_encode_blocked; bm25 lazy MaxScore is the consumer).
+# v5 extends the same block structure to the position stream
+# (block_pos_offs): phrase evaluation decodes positions only for blocks
+# holding candidate docs (executor._LazyPositions).
 _POSTINGS_SCHEMA = (
     "seg_id long, field string, term string, df_local long, cf_local long, "
     "doc_ids_bin binary, tfs_bin binary, pos_bin binary, "
     "block_maxes array<double>, max_norm double, "
     "block_id_offs array<int>, block_tf_offs array<int>, "
-    "block_first_ids array<long>"
+    "block_first_ids array<long>, block_pos_offs array<int>"
 )
 
 
@@ -133,6 +137,7 @@ def _make_segment_encoder(avgdl: float, k1: float, b: float):
             "doc_ids_bin": [], "tfs_bin": [], "pos_bin": [],
             "block_maxes": [], "max_norm": [],
             "block_id_offs": [], "block_tf_offs": [], "block_first_ids": [],
+            "block_pos_offs": [],
         }
         for (field, term), g in pdf.groupby(["field", "term"], sort=False):
             ids = g["doc_id"].to_numpy(dtype=np.uint64)
@@ -150,7 +155,11 @@ def _make_segment_encoder(avgdl: float, k1: float, b: float):
             out["df_local"].append(int(ids.size))
             out["cf_local"].append(int(tfs.sum()))
             _encode_blocked(out, ids, tfs)
-            out["pos_bin"].append(encode_positions(list(g["positions"])))
+            pos_bin, pos_offs = encode_positions_blocked(
+                list(g["positions"]), BLOCK_SIZE
+            )
+            out["pos_bin"].append(pos_bin)
+            out["block_pos_offs"].append([int(x) for x in pos_offs])
             out["block_maxes"].append(bmax)
             out["max_norm"].append(float(norms.max()) if norms.size else 0.0)
         return pd.DataFrame(out)
@@ -208,6 +217,7 @@ def _make_packed_encoder(field_names: list[str], avgdl: float, k1: float, b: flo
             "doc_ids_bin": [], "tfs_bin": [], "pos_bin": [],
             "block_maxes": [], "max_norm": [],
             "block_id_offs": [], "block_tf_offs": [], "block_first_ids": [],
+            "block_pos_offs": [],
         }
         for (fid, term), (ids, tfs, dls, poss) in acc.items():
             ids_a = np.array(ids, dtype=np.uint64)
@@ -226,6 +236,14 @@ def _make_packed_encoder(field_names: list[str], avgdl: float, k1: float, b: flo
             out["cf_local"].append(int(tfs_a.sum()))
             _encode_blocked(out, ids_a, tfs_a)
             out["pos_bin"].append(b"".join(poss))
+            # per-doc blobs are already encoded — block offsets are just
+            # the blob-length cumsum sampled at block starts
+            out["block_pos_offs"].append(
+                [int(x) for x in block_offsets_from_lengths(
+                    np.fromiter((len(p) for p in poss), dtype=np.int64, count=len(poss)),
+                    BLOCK_SIZE,
+                )]
+            )
             out["block_maxes"].append(bmax)
             out["max_norm"].append(float(norms.max()) if norms.size else 0.0)
         return pd.DataFrame(out)
@@ -233,7 +251,17 @@ def _make_packed_encoder(field_names: list[str], avgdl: float, k1: float, b: flo
     return encode
 
 
-_SEG_META_SCHEMA = "seg_id long, n_docs long, base_doc_id long, dl_bin binary"
+# v5: avgdl_built records the corpus avgdl the segment's block-max
+# bounds were computed with — bm25 pruning is only rank-safe when it
+# matches the query-time corpus avgdl (streaming appends drift it; the
+# scorer falls back to exact for stale segments). deleted_bin holds the
+# local ids expunged by a purging merge (delta+varint; the NOT/ALL
+# universe subtracts them — doc ids are never renumbered, so purged
+# slots must stay out of the universe without a tombstone table).
+_SEG_META_SCHEMA = (
+    "seg_id long, n_docs long, base_doc_id long, dl_bin binary, "
+    "avgdl_built double, deleted_bin binary"
+)
 
 _META_ENC_SCHEMA = T.StructType(
     [
@@ -441,7 +469,12 @@ def build_index(
                 F.sort_array(F.collect_list(F.struct("local_id", "dl"))).alias("ld")
             )
             .select("seg_id", "base_doc_id", _encode_dl_udf(F.col("ld")).alias("m"))
-            .select("seg_id", F.col("m.n_docs").alias("n_docs"), "base_doc_id", F.col("m.dl_bin").alias("dl_bin"))
+            .select(
+                "seg_id", F.col("m.n_docs").alias("n_docs"), "base_doc_id",
+                F.col("m.dl_bin").alias("dl_bin"),
+                F.lit(float(avgdl)).alias("avgdl_built"),
+                F.lit(None).cast("binary").alias("deleted_bin"),
+            )
         )
 
         # ---- postings (multi-field: yaii indexes every searchable
@@ -579,9 +612,13 @@ def build_index(
         .repartition("bucket")
         .sortWithinPartitions("bucket", "field", "term")
     )
+    from yaii_spark.storage import FORMAT_VERSION
+
     cs_df = spark.createDataFrame(
-        [(n_total, avgdl, float(k1), float(b), int(seg_size), BLOCK_SIZE)],
-        "n_docs long, avgdl double, k1 double, b double, seg_size long, block_size long",
+        [(n_total, avgdl, float(k1), float(b), int(seg_size), BLOCK_SIZE,
+          FORMAT_VERSION)],
+        "n_docs long, avgdl double, k1 double, b double, seg_size long, "
+        "block_size long, format_version long",
     )
     # lineage (ck) and term_stats are independent (they share the cached
     # post_all; concurrent computes of the same cached blocks are
@@ -613,19 +650,42 @@ def build_index(
     return metrics
 
 
+def delete_docs_df(spark: SparkSession, index_dir: str, ids: DataFrame,
+                   id_col: str = "doc_id") -> int:
+    """Distributed bulk tombstoning: `ids` is any DataFrame of doc ids
+    (e.g. the output of a dedup cluster assignment filtered to
+    non-survivors) — tombstone rows are derived and written without the
+    ids ever touching the driver (VERDICT r3 #6: a 100-TB bulk delete
+    can tombstone billions of docs). Returns the count added."""
+    from yaii_spark.storage import IndexCatalog
+
+    seg_size = IndexCatalog(spark, index_dir).corpus_stats().seg_size
+    df = (
+        ids.select(F.col(id_col).cast("long").alias("doc_id"))
+        .distinct()
+        .select(
+            (F.col("doc_id") / F.lit(seg_size)).cast("long").alias("seg_id"),
+            "doc_id",
+        )
+    )
+    path = os.path.join(index_dir, "tombstones")
+    mode = "append" if fs_exists(spark, path) else "overwrite"
+    write_table(df, path, mode=mode)
+    return df.count()
+
+
 def delete_docs(spark: SparkSession, index_dir: str, doc_ids: list[int]) -> int:
     """Tombstone docs (the reference's removeDocument,
     mutable-segment.ts:191-197 — immutable segments there throw
     NotImplemented; ours works uniformly). Appends (seg_id, doc_id)
-    rows; queries anti-join / subtract them. Returns count added."""
-    stats = read_table(spark, os.path.join(index_dir, "corpus_stats")).collect()[0]
-    seg_size = int(stats.seg_size)
-    rows = [(int(d) // seg_size, int(d)) for d in sorted(set(doc_ids))]
-    df = spark.createDataFrame(rows, "seg_id long, doc_id long")
-    path = os.path.join(index_dir, "tombstones")
-    mode = "append" if fs_exists(spark, path) else "overwrite"
-    write_table(df, path, mode=mode)
-    return len(rows)
+    rows; queries anti-join / subtract them. Returns count added.
+
+    List-in convenience form of `delete_docs_df` (which is the scale
+    path — nothing corpus-sized should pass through this driver list)."""
+    df = spark.createDataFrame(
+        [(int(d),) for d in sorted(set(doc_ids))], "doc_id long"
+    )
+    return delete_docs_df(spark, index_dir, df)
 
 
 MERGE_SHARDS = 16  # term-hash shards per merged segment (task sizing)
@@ -649,58 +709,110 @@ def merge_segments(
        ranges, so concatenation preserves sort order and no renumbering
        happens (the payoff of the seg_id*seg_size+local docID design);
        block maxes are recomputed against the merged dl array.
+    3. Tombstoned docs are EXPUNGED (Lucene expunges deletes at merge —
+       the point of compaction): their postings entries, position
+       ranges and docs-table rows are dropped, and the tombstone table
+       is not carried over. Because docIDs are never renumbered, the
+       purged local ids are recorded in the merged seg_meta
+       (`deleted_bin`) so NOT/ALL universes exclude the holes. Corpus
+       term_stats / n_docs / avgdl carry over UNCHANGED, keeping every
+       query (BM25 scores included) byte-identical pre/post merge —
+       the same stats-lag Lucene accepts until a stats refresh.
     """
-    srow = read_table(spark, os.path.join(index_dir, "corpus_stats")).collect()[0]
-    seg_size, avgdl, k1, b = int(srow.seg_size), float(srow.avgdl), float(srow.k1), float(srow.b)
-    block_size = int(srow.asDict().get("block_size") or 128)
+    # IndexCatalog.corpus_stats enforces the format_version check —
+    # merging a pre-v5 index must fail loudly, not emit garbage
+    from yaii_spark.storage import FORMAT_VERSION, IndexCatalog
+
+    cat_in = IndexCatalog(spark, index_dir)
+    stats = cat_in.corpus_stats()
+    seg_size, avgdl, k1, b = stats.seg_size, stats.avgdl, stats.k1, stats.b
+    block_size = stats.block_size
     new_size = seg_size * factor
 
     # seg_id returns from the partitioned layout as INT (partition
     # inference); cast to LONG everywhere a cogroup key derives from it
     # — int-vs-long key sides hash-partition differently and the
     # cogroup silently mis-aligns (storage.IndexCatalog._seg_long)
-    meta = read_table(spark, os.path.join(index_dir, "seg_meta")).withColumn(
-        "seg_id", F.col("seg_id").cast("long")
-    )
-    post = read_table(spark, os.path.join(index_dir, "postings")).withColumn(
-        "seg_id", F.col("seg_id").cast("long")
-    )
+    meta = cat_in.seg_meta()
+    post = cat_in.postings()
 
-    # ---- merged seg_meta: place old dl blobs at their offsets ----
+    # ---- per-new-segment purge blobs: tombstoned LOCAL ids (plus any
+    # holes a previous purging merge already recorded in deleted_bin),
+    # delta+varint-encoded — one small blob per merged segment, joined
+    # (never collected) onto the meta stream ----
+    tomb = cat_in.tombstones()
+    tomb_new = None
+    if tomb is not None:
+        from yaii_spark.codec import delta_encode as _denc
+
+        def encode_tomb(pdf: pd.DataFrame) -> pd.DataFrame:
+            new_seg = int(pdf["new_seg"].iloc[0])
+            local = np.unique(pdf["doc_id"].to_numpy(dtype=np.int64)) - new_seg * new_size
+            return pd.DataFrame(
+                {"new_seg": [new_seg], "tomb_bin": [_denc(local.astype(np.uint64))]}
+            )
+
+        tomb_new = (
+            tomb.select(
+                ((F.col("doc_id") / F.lit(new_size)).cast("long")).alias("new_seg"),
+                "doc_id",
+            )
+            .groupBy("new_seg")
+            .applyInPandas(encode_tomb, schema="new_seg long, tomb_bin binary")
+        )
+
+    # ---- merged seg_meta: place old dl blobs at their offsets; fold
+    # prior deleted_bin holes and fresh tombstones into the merged
+    # deleted_bin ----
     def merge_meta(pdf: pd.DataFrame) -> pd.DataFrame:
-        from yaii_spark.codec import varint_decode
+        from yaii_spark.codec import delta_decode, delta_encode, varint_decode
 
         pdf = pdf.sort_values("base_doc_id")
         new_seg = int(pdf["base_doc_id"].iloc[0]) // new_size
         new_base = new_seg * new_size
         top = int(pdf["base_doc_id"].iloc[-1]) + int(pdf["n_docs"].iloc[-1])
         dls = np.zeros(top - new_base, dtype=np.uint64)
+        purged = []
         for _, r in pdf.iterrows():
             off = int(r["base_doc_id"]) - new_base
             d = varint_decode(r["dl_bin"])
             dls[off : off + d.size] = d
+            if r.get("deleted_bin") is not None:
+                purged.append(delta_decode(r["deleted_bin"]).astype(np.int64) + off)
+        tb = pdf["tomb_bin"].iloc[0] if "tomb_bin" in pdf.columns else None
+        if tb is not None:
+            purged.append(delta_decode(tb).astype(np.int64))
+        dele = (
+            delta_encode(np.unique(np.concatenate(purged)).astype(np.uint64))
+            if purged
+            else None
+        )
         return pd.DataFrame(
             {
                 "seg_id": [new_seg],
                 "n_docs": [int(dls.size)],
                 "base_doc_id": [new_base],
                 "dl_bin": [varint_encode(dls)],
+                "avgdl_built": [float(avgdl)],
+                "deleted_bin": [dele],
             }
         )
 
-    new_meta = (
-        meta.withColumn("new_seg", (F.col("seg_id") / factor).cast("long"))
-        .groupBy("new_seg")
-        .applyInPandas(merge_meta, schema=_SEG_META_SCHEMA)
+    meta_keyed = meta.withColumn("new_seg", (F.col("seg_id") / factor).cast("long"))
+    if tomb_new is not None:
+        meta_keyed = meta_keyed.join(tomb_new, "new_seg", "left")
+    new_meta = meta_keyed.groupBy("new_seg").applyInPandas(
+        merge_meta, schema=_SEG_META_SCHEMA
     )
     write_table(new_meta, os.path.join(out_dir, "seg_meta"), partition_by=["seg_id"])
 
     def merge_shard(post_pdf: pd.DataFrame, meta_pdf: pd.DataFrame) -> pd.DataFrame:
         from yaii_spark.codec import (
             decode_positions,
+            delta_decode,
             delta_decode_blocked,
             delta_encode_blocked,
-            encode_positions,
+            encode_positions_blocked,
             varint_decode,
             varint_encode_blocked,
         )
@@ -709,6 +821,7 @@ def merge_segments(
             "seg_id", "field", "term", "df_local", "cf_local",
             "doc_ids_bin", "tfs_bin", "pos_bin", "block_maxes", "max_norm",
             "block_id_offs", "block_tf_offs", "block_first_ids",
+            "block_pos_offs",
         ]
         if post_pdf.empty:
             # a (new_seg, shard) key can arrive meta-only from the
@@ -727,6 +840,10 @@ def merge_segments(
                 "key misalignment (check seg_id key types)"
             )
         dls = varint_decode(meta_pdf["dl_bin"].iloc[0]).astype(np.float64)
+        db = meta_pdf["deleted_bin"].iloc[0]
+        purged_local = (
+            delta_decode(db).astype(np.int64) if db is not None else None
+        )
         post_pdf = post_pdf.sort_values(["field", "term", "seg_id"], kind="mergesort")
         out = {c: [] for c in cols}
         for (field, term), g in post_pdf.groupby(["field", "term"], sort=False):
@@ -738,6 +855,15 @@ def merge_segments(
             for pb, tb in zip(g["pos_bin"], g["tfs_bin"]):
                 pos_lists.extend(decode_positions(pb, varint_decode(tb).astype(np.int64)))
             local = (ids - base).astype(np.int64)
+            if purged_local is not None and purged_local.size:
+                # expunge deletes: drop the tombstoned docs' postings
+                # (and their position lists) from the merged lists
+                keep = ~np.isin(local, purged_local, assume_unique=True)
+                if not keep.all():
+                    ids, tfs, local = ids[keep], tfs[keep], local[keep]
+                    pos_lists = [p for p, k in zip(pos_lists, keep) if k]
+                if ids.size == 0:
+                    continue  # every posting was deleted — drop the term row
             norms = _tf_norm(tfs, dls[local], avgdl, k1, b)
             nblocks = math.ceil(ids.size / block_size)
             bmax = [
@@ -747,8 +873,8 @@ def merge_segments(
             out["seg_id"].append(new_seg)
             out["field"].append(field)
             out["term"].append(term)
-            out["df_local"].append(int(g["df_local"].sum()))
-            out["cf_local"].append(int(g["cf_local"].sum()))
+            out["df_local"].append(int(ids.size))
+            out["cf_local"].append(int(tfs.sum()))
             ids_bin, id_offs = delta_encode_blocked(ids, block_size)
             tfs_bin, tf_offs = varint_encode_blocked(tfs, block_size)
             out["doc_ids_bin"].append(ids_bin)
@@ -756,9 +882,13 @@ def merge_segments(
             out["block_id_offs"].append([int(x) for x in id_offs])
             out["block_tf_offs"].append([int(x) for x in tf_offs])
             out["block_first_ids"].append([int(x) for x in ids[::block_size]])
-            out["pos_bin"].append(encode_positions([p.tolist() for p in pos_lists]))
+            pos_bin, pos_offs = encode_positions_blocked(pos_lists, block_size)
+            out["pos_bin"].append(pos_bin)
+            out["block_pos_offs"].append([int(x) for x in pos_offs])
             out["block_maxes"].append(bmax)
             out["max_norm"].append(float(norms.max()) if norms.size else 0.0)
+        if not out["seg_id"]:
+            return pd.DataFrame(columns=cols, dtype=object)
         return pd.DataFrame(out)
 
     out_schema = _POSTINGS_SCHEMA
@@ -767,12 +897,14 @@ def merge_segments(
         post.withColumn("new_seg", (F.col("seg_id") / factor).cast("long"))
         .withColumn("shard", shard)
     )
-    # replicate each merged dl blob to every shard of its segment
-    # (seg_id cast long: cogroup key alignment — see the meta/post
-    # reads above)
+    # replicate each merged dl blob (and its purge blob) to every shard
+    # of its segment (seg_id cast long: cogroup key alignment — see the
+    # meta/post reads above)
     meta_sharded = (
         read_table(spark, os.path.join(out_dir, "seg_meta"))
-        .select(F.col("seg_id").cast("long").alias("new_seg"), "dl_bin")
+        .select(
+            F.col("seg_id").cast("long").alias("new_seg"), "dl_bin", "deleted_bin"
+        )
         .crossJoin(spark.range(MERGE_SHARDS).select(F.col("id").alias("shard")))
     )
     write_table(
@@ -785,28 +917,24 @@ def merge_segments(
         partition_by=["seg_id"],
     )
 
-    # docs table, stats, checkpoints carry over with re-keyed seg_id
+    # docs table carries over re-keyed — minus expunged docs
     docs = read_table(spark, os.path.join(index_dir, "docs"))
+    if tomb is not None:
+        docs = docs.join(tomb.select("doc_id"), "doc_id", "left_anti")
     write_table(
         docs.withColumn("seg_id", (F.col("seg_id") / factor).cast("long"))
         .withColumn("local_id", F.col("doc_id") - F.col("seg_id") * F.lit(new_size)),
         os.path.join(out_dir, "docs"),
         partition_by=["seg_id"],
     )
-    # corpus-wide term stats are merge-invariant; carry the bucket layout
-    # (explicit bucket-led sort keeps the writer from re-sorting rows)
+    # corpus-wide term stats / n_docs / avgdl carry over UNCHANGED even
+    # when deletes are expunged (see docstring: keeps scores identical;
+    # explicit bucket-led sort keeps the writer from re-sorting rows)
     write_table(
         read_table(spark, os.path.join(index_dir, "term_stats"))
         .sortWithinPartitions("bucket", "field", "term"),
         os.path.join(out_dir, "term_stats"),
         partition_by=["bucket"],
-    )
-    write_table(
-        spark.createDataFrame(
-            [(int(srow.n_docs), avgdl, k1, b, new_size, block_size)],
-            "n_docs long, avgdl double, k1 double, b double, seg_size long, block_size long",
-        ),
-        os.path.join(out_dir, "corpus_stats"),
     )
     post_new = read_table(spark, os.path.join(out_dir, "postings"))
     ck = post_new.groupBy("seg_id").agg(
@@ -816,13 +944,19 @@ def merge_segments(
         F.lit(0.0).alias("wall_sec"), F.lit("done").alias("status"),
     )
     write_table(ck, os.path.join(out_dir, "checkpoints"))
-    tomb = os.path.join(index_dir, "tombstones")
-    if fs_exists(spark, tomb):
-        write_table(
-            read_table(spark, tomb).withColumn(
-                "seg_id", (F.col("seg_id") / factor).cast("long")
-            ),
-            os.path.join(out_dir, "tombstones"),
-        )
+    # NO tombstone carry-over: deletes were expunged above (holes are
+    # recorded in seg_meta.deleted_bin for the NOT/ALL universe).
+    # corpus_stats is written STRICTLY LAST — it is the commit marker
+    # IndexCatalog.exists() trusts, and a crash before this point must
+    # leave an index that reports incomplete, not one missing its
+    # checkpoints (ADVICE r3: same ordering invariant as build_index).
+    write_table(
+        spark.createDataFrame(
+            [(stats.n_docs, avgdl, k1, b, new_size, block_size, FORMAT_VERSION)],
+            "n_docs long, avgdl double, k1 double, b double, seg_size long, "
+            "block_size long, format_version long",
+        ),
+        os.path.join(out_dir, "corpus_stats"),
+    )
     n_after = read_table(spark, os.path.join(out_dir, "seg_meta")).count()
     return {"segments_before": meta.select("seg_id").distinct().count(), "segments_after": n_after}

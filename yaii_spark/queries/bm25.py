@@ -376,7 +376,9 @@ def bm25_topk(
         else []
     )
     post = cat.postings([(field, t) for t in sorted(idfs)]).select(*cols)
-    meta = cat.seg_meta().select("seg_id", "n_docs", "base_doc_id", "dl_bin")
+    meta = cat.seg_meta().select(
+        "seg_id", "n_docs", "base_doc_id", "dl_bin", "avgdl_built"
+    )
     joined = post.join(meta, "seg_id", "inner")
     tomb = cat.tombstones()
     k1, b, avgdl = stats.k1, stats.b, stats.avgdl
@@ -388,7 +390,12 @@ def bm25_topk(
     def score(pdf: pd.DataFrame, deleted: np.ndarray | None) -> pd.DataFrame:
         if pdf.empty:
             return _EMPTY()
-        if use_prune:
+        # block_maxes are upper bounds ONLY under the avgdl they were
+        # computed with (norm grows with avgdl): a segment appended by
+        # the streaming sink after the corpus avgdl drifted scores via
+        # the exact path — rank-safe always, pruned again once a merge
+        # recomputes its bounds with the current corpus avgdl
+        if use_prune and float(pdf["avgdl_built"].iloc[0]) == avgdl:
             return _score_segment_pruned(pdf, idfs, k1, b, avgdl, k, block, deleted)
         return _score_segment(pdf, idfs, k1, b, avgdl, k, mode, block, deleted)
 

@@ -28,13 +28,87 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from yaii_spark.codec import delta_decode_blocked
+from yaii_spark.codec import decode_positions, delta_decode_blocked
 from yaii_spark.queries import ast as A
 from yaii_spark.storage import IndexCatalog
 
 
 def _empty_ids(spark) -> DataFrame:
     return spark.createDataFrame([], "doc_id long")
+
+
+#: position-decode accounting (meaningful for driver-side direct calls,
+#: as the lazy-phrase tests do; Spark workers keep their own copies —
+#: same pattern as bm25.DECODE_STATS)
+POS_DECODE_STATS = {
+    "bytes_decoded": 0, "bytes_total": 0,
+    "blocks_decoded": 0, "blocks_total": 0,
+}
+
+
+def reset_pos_decode_stats() -> None:
+    for k in POS_DECODE_STATS:
+        POS_DECODE_STATS[k] = 0
+
+
+class _LazyPositions:
+    """Lazy accessor over one v5 posting row's position stream: each
+    doc's positions are delta-encoded independently and byte offsets
+    are stored at every id-block boundary (block_pos_offs), so the
+    stream decodes PER BLOCK, only for blocks holding candidate docs —
+    a selective phrase over a stopword-grade term no longer decodes the
+    corpus-scale position stream (VERDICT r3 #1; the position analogue
+    of bm25._LazyPostings)."""
+
+    __slots__ = ("ids", "tfs", "pos_bin", "offs", "block", "_cache")
+
+    def __init__(self, ids, tfs, pos_bin, offs, block):
+        self.ids = ids  # local doc ids, sorted ascending (int64)
+        self.tfs = np.asarray(tfs, dtype=np.int64)
+        self.pos_bin = pos_bin
+        self.offs = np.asarray(offs, dtype=np.int64)
+        self.block = int(block)
+        self._cache: dict[int, list] = {}
+        POS_DECODE_STATS["bytes_total"] += len(pos_bin)
+        POS_DECODE_STATS["blocks_total"] += len(self.offs)
+
+    def _decode_block(self, bx: int) -> list:
+        got = self._cache.get(bx)
+        if got is None:
+            lo = int(self.offs[bx])
+            hi = int(self.offs[bx + 1]) if bx + 1 < len(self.offs) else len(self.pos_bin)
+            tfs = self.tfs[bx * self.block : (bx + 1) * self.block]
+            got = self._cache[bx] = decode_positions(self.pos_bin[lo:hi], tfs)
+            POS_DECODE_STATS["bytes_decoded"] += hi - lo
+            POS_DECODE_STATS["blocks_decoded"] += 1
+        return got
+
+    def positions_for(self, cand: np.ndarray) -> list:
+        """Per-doc position arrays (int64) for `cand` — sorted local ids
+        that must all be present in self.ids."""
+        idxs = np.searchsorted(self.ids, cand)
+        out: list = [None] * len(cand)
+        bxs = idxs // self.block
+        for bx in np.unique(bxs):
+            plists = self._decode_block(int(bx))
+            for s in np.flatnonzero(bxs == bx):
+                out[s] = plists[int(idxs[s] - bx * self.block)].astype(np.int64)
+        return out
+
+
+class _EagerPositions:
+    """Adapter giving fully-decoded (ids, per-doc position lists) the
+    same surface as _LazyPositions (unit tests build these directly)."""
+
+    __slots__ = ("ids", "_plists")
+
+    def __init__(self, ids, plists):
+        self.ids = np.asarray(ids, dtype=np.int64)
+        self._plists = plists
+
+    def positions_for(self, cand: np.ndarray) -> list:
+        idxs = np.searchsorted(self.ids, cand)
+        return [np.asarray(self._plists[int(i)], dtype=np.int64) for i in idxs]
 
 
 # ---------------------------------------------------------------------------
@@ -44,8 +118,11 @@ def _empty_ids(spark) -> DataFrame:
 def _ordered_window(qs: list, slop: int) -> bool:
     """True if ∃ non-decreasing chain q_0 ≤ q_1 ≤ … with q_last − q_0 ≤
     slop (qs are the j-shifted position arrays, sorted ascending). The
-    greedy minimal chain per start is optimal; starts ascend, so the
-    first exhausted tail list ends the search."""
+    greedy minimal chain per start is optimal.
+
+    Reference implementation — production slop>0 verification runs the
+    batched form (_verify_slop_chain); a hypothesis property pins the
+    two together (tests/test_phrase.py)."""
     if slop == 0:
         acc = qs[0]
         for q in qs[1:]:
@@ -65,36 +142,82 @@ def _ordered_window(qs: list, slop: int) -> bool:
     return False
 
 
+def _verify_slop_chain(per_term: list, slop: int) -> np.ndarray:
+    """Vectorized slop>0 verification → bool mask over candidates.
+
+    `per_term[j]` is the list of position arrays (one per candidate
+    doc, ascending) for term j. The greedy minimal chain (take, per
+    start position of term 0, the smallest position of each next term
+    ≥ the previous pick; succeed iff span ≤ slop after the per-term −j
+    shift) is batched across EVERY start of EVERY candidate at once:
+    per term, candidate positions flatten into composite keys
+    (doc_rank << 32) | shifted_pos, and one searchsorted per term
+    advances all surviving chains simultaneously — no per-candidate
+    Python loop (VERDICT r3 #2)."""
+    n = len(per_term)
+    m = len(per_term[0])
+    comp = []
+    for j, pls in enumerate(per_term):
+        reps = np.fromiter((p.size for p in pls), dtype=np.int64, count=m)
+        # shift by −j (window alignment) then +n so values stay > 0
+        # inside the composite key's low 32 bits
+        flat = np.concatenate(pls).astype(np.int64) - j + n
+        ranks = np.repeat(np.arange(m, dtype=np.int64), reps)
+        comp.append(((ranks << np.int64(32)) | flat, flat))
+    mask = np.zeros(m, dtype=bool)
+    keys0, q0 = comp[0]
+    start, prev = q0, q0
+    rank = keys0 >> np.int64(32)
+    for j in range(1, n):
+        cj, _ = comp[j]
+        key = (rank << np.int64(32)) | prev
+        idx = np.searchsorted(cj, key, side="left")
+        ok = idx < cj.size
+        idxc = np.minimum(idx, cj.size - 1)
+        hit = cj[idxc]
+        ok &= (hit >> np.int64(32)) == rank  # stayed within the doc
+        keep = np.flatnonzero(ok)
+        if keep.size == 0:
+            return mask
+        prev = (hit & np.int64(0xFFFFFFFF))[keep]
+        start, rank = start[keep], rank[keep]
+    good = (prev - start) <= slop
+    mask[np.unique(rank[good])] = True
+    return mask
+
+
 def _eval_phrase(node: A.Phrase, pos_map: dict) -> np.ndarray:
-    """Phrase/proximity over decoded positions: intersect doc ids
-    (smallest list leads, like the conjunction path), then verify the
-    in-order window condition.
+    """Phrase/proximity over lazily-decoded positions: intersect doc
+    ids (smallest list leads, like the conjunction path), fetch
+    positions ONLY for surviving candidates (v5 per-block position
+    offsets — a dense term's corpus-scale stream is never decoded for
+    a selective phrase), then verify the in-order window condition.
 
     slop=0 (the common case) is fully vectorized: per term j, the
     candidate docs' positions flatten into composite keys
     (doc_rank << 32) | (pos − j); intersecting the key sets across
-    terms leaves exactly the docs with an aligned adjacency window —
-    no per-doc Python loop, so even a stopword-grade two-term phrase
-    whose candidate set is segment-sized stays numpy-bound (VERDICT r2
-    #6). slop>0 keeps the greedy minimal-chain walk per candidate."""
+    terms leaves exactly the docs with an aligned adjacency window
+    (VERDICT r2 #6). slop>0 runs the batched greedy chain
+    (_verify_slop_chain)."""
     entries = []
     for t in node.terms:
         e = pos_map.get((node.field_name, t))
         if e is None:
             return np.empty(0, dtype=np.int64)
-        entries.append(e)  # (ids ascending, positions list aligned to ids)
-    cand = entries[0][0]
-    for ids, _ in sorted(entries[1:], key=lambda e: e[0].size):
+        if isinstance(e, tuple):  # (ids, plists) — unit-test form
+            e = _EagerPositions(*e)
+        entries.append(e)
+    cand = entries[0].ids
+    for e in sorted(entries[1:], key=lambda e: e.ids.size):
         if cand.size == 0:
-            return cand
-        cand = np.intersect1d(cand, ids, assume_unique=True)
+            return cand.astype(np.int64)
+        cand = np.intersect1d(cand, e.ids, assume_unique=True)
     if cand.size == 0 or len(entries) == 1:
         return cand.astype(np.int64)
+    per_term = [e.positions_for(cand) for e in entries]
     if node.slop == 0:
         acc = None
-        for j, (ids, plists) in enumerate(entries):
-            idxs = np.searchsorted(ids, cand)
-            pls = [plists[int(ix)].astype(np.int64) for ix in idxs]
+        for j, pls in enumerate(per_term):
             reps = np.fromiter((p.size for p in pls), dtype=np.int64, count=len(pls))
             flat = np.concatenate(pls)
             ranks = np.repeat(np.arange(cand.size, dtype=np.int64), reps)
@@ -105,15 +228,7 @@ def _eval_phrase(node: A.Phrase, pos_map: dict) -> np.ndarray:
             if acc.size == 0:
                 return np.empty(0, dtype=np.int64)
         return cand[np.unique(acc >> np.int64(32))].astype(np.int64)
-    out = []
-    for d in cand:
-        qs = [
-            plists[int(np.searchsorted(ids, d))].astype(np.int64) - j
-            for j, (ids, plists) in enumerate(entries)
-        ]
-        if _ordered_window(qs, node.slop):
-            out.append(int(d))
-    return np.asarray(out, dtype=np.int64)
+    return cand[_verify_slop_chain(per_term, node.slop)].astype(np.int64)
 
 
 def _term_in_range(t: str, node: A.TokenRange) -> bool:
@@ -220,11 +335,13 @@ def _eval_token_tree(cat: IndexCatalog, node: A.Node) -> DataFrame:
         for t in n.terms
     }
     cols = ["seg_id", "field", "term", "doc_ids_bin"] + (
-        ["tfs_bin", "pos_bin"] if want_pos else []
+        ["tfs_bin", "pos_bin", "block_pos_offs"] if want_pos else []
     )
     post = cat.postings(terms, scans=scans).select(*cols)
     block = cat.corpus_stats().block_size  # delta restarts per block (v4)
-    meta = cat.seg_meta().select("seg_id", "n_docs", "base_doc_id")
+    # deleted_bin: local-id holes a purging merge left behind — they
+    # must stay out of NOT/ALL universes (doc ids are never renumbered)
+    meta = cat.seg_meta().select("seg_id", "n_docs", "base_doc_id", "deleted_bin")
     if _needs_universe(node):
         # NOT/ALL need every segment, even term-free ones
         joined = meta.join(post, "seg_id", "left")
@@ -233,7 +350,7 @@ def _eval_token_tree(cat: IndexCatalog, node: A.Node) -> DataFrame:
             return _empty_ids(spark)
         joined = post.join(meta, "seg_id", "inner")
     def _eval(pdf: pd.DataFrame, deleted: np.ndarray | None) -> pd.DataFrame:
-        from yaii_spark.codec import decode_positions, varint_decode
+        from yaii_spark.codec import delta_decode, varint_decode
 
         if pdf.empty:
             return pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
@@ -247,14 +364,22 @@ def _eval_token_tree(cat: IndexCatalog, node: A.Node) -> DataFrame:
         pos_map = None
         if want_pos:
             pos_map = {}
-            for f, t, ib, tb, pb in zip(
-                pdf["field"], pdf["term"], pdf["doc_ids_bin"], pdf["tfs_bin"], pdf["pos_bin"]
+            for f, t, ib, tb, pb, po in zip(
+                pdf["field"], pdf["term"], pdf["doc_ids_bin"], pdf["tfs_bin"],
+                pdf["pos_bin"], pdf["block_pos_offs"],
             ):
                 if t is None or ib is None or (f, t) not in phrase_terms:
                     continue
                 tfs = varint_decode(tb).astype(np.int64)
-                pos_map[(f, t)] = (postings[(f, t)], decode_positions(pb, tfs))
+                pos_map[(f, t)] = _LazyPositions(
+                    postings[(f, t)], tfs, pb, po, block
+                )
         ids = _eval_numpy(node, postings, n_docs, pos_map)
+        db = pdf["deleted_bin"].iloc[0]
+        if db is not None:
+            purged = delta_decode(db).astype(np.int64)  # local ids
+            if purged.size:
+                ids = np.setdiff1d(ids, purged, assume_unique=False)
         if deleted is not None and deleted.size:
             ids = np.setdiff1d(ids, np.sort(deleted) - base, assume_unique=False)
         return pd.DataFrame({"doc_id": ids + base})

@@ -34,10 +34,16 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-# bump when the on-disk layout changes (cache invalidation)
+# bump when the on-disk layout changes (cache invalidation; persisted
+# in corpus_stats.format_version and CHECKED on read — a mismatched
+# index raises instead of silently misdecoding, ADVICE r3)
 # v4: blocked posting layout — delta restarts at block boundaries +
 # per-block byte offsets / first doc ids (lazy MaxScore block decode)
-FORMAT_VERSION = 4
+# v5: blocked POSITION stream (postings.block_pos_offs → lazy phrase
+# decode); seg_meta gains avgdl_built (pruning-safety under streaming
+# appends) and deleted_bin (holes left by purge-at-merge);
+# corpus_stats gains format_version
+FORMAT_VERSION = 5
 
 # term_stats is hash-partitioned into this many bucket dirs so the
 # corpus dictionary (10^8-10^9 terms at web scale) is written by many
@@ -185,12 +191,21 @@ class IndexCatalog:
         if self._stats is None:
             row = read_table(self.spark, self.path("corpus_stats")).collect()[0]
             d = row.asDict()
+            # strict format gate: a v<5 index's postings would decode
+            # into silently wrong doc ids under the current blocked
+            # reader (each block's first delta read as absolute) —
+            # fail loudly instead (ADVICE r3)
+            ver = d.get("format_version")
+            if ver != FORMAT_VERSION:
+                raise ValueError(
+                    f"index at {self.root} has on-disk format "
+                    f"{ver if ver is not None else '<3 (unversioned)'}; "
+                    f"this build reads format {FORMAT_VERSION} — rebuild "
+                    "the index (build_index with resume=False)"
+                )
             self._stats = CorpusStats(
                 n_docs=row.n_docs, avgdl=row.avgdl, k1=row.k1, b=row.b,
-                seg_size=row.seg_size,
-                # pre-v3 indexes predate the persisted block size; they
-                # were all written with the 128 default
-                block_size=int(d.get("block_size") or 128),
+                seg_size=row.seg_size, block_size=int(row.block_size),
             )
         return self._stats
 
