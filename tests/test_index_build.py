@@ -396,3 +396,53 @@ def test_multivalue_field(spark, work_dir):
     assert got2(A.phrase(["red", "fox"], "tags", slop=1)) == {0}  # slop < gap
     assert got2(A.token("fox", "tags")) == {0, 3}  # tokens unaffected
     assert got2(A.phrase(["lazy", "dog"], "tags")) == {1}  # in-element intact
+
+
+def test_multi_source_all_field(spark, work_dir):
+    """yaii's addToAllField collects EVERY field's values into £_ALL
+    (base-inverted-index.ts:141-161): a field-map source may be a LIST
+    of columns whose token streams concatenate with sequential
+    positions — a token query on _all matches either source."""
+    from pyspark.sql import types as T
+
+    from yaii_spark.queries import ast as A
+    from yaii_spark.queries.executor import execute_boolean
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("title", T.StringType()),
+        ]
+    )
+    rows = [
+        (0, "body alpha", "Heading Omega"),
+        (1, "body beta", None),
+        (2, "gamma", "the heading"),
+    ]
+    pages = spark.createDataFrame(rows, schema)
+    idx = f"{work_dir}/multi_all_idx"
+    build_index(
+        spark, pages, idx, seg_size=2,
+        fields={
+            "text": ("text", "standard"),
+            "_all": (["text", "title"], "all"),
+        },
+    )
+    cat = IndexCatalog(spark, idx)
+    got = lambda q: {r.doc_id for r in execute_boolean(cat, q).collect()}
+    # tokens from BOTH sources route into _all
+    assert got(A.token("alpha", "_all")) == {0}
+    assert got(A.token("omega", "_all")) == {0}
+    assert got(A.token("heading", "_all")) == {0, 2}
+    # null source contributes nothing (doc 1 still indexes its text)
+    assert got(A.token("beta", "_all")) == {1}
+    # the 'all' analyzer's stopword filter applies to every source
+    assert got(A.token("the", "_all")) == set()
+    # sequential concat positions: phrase across the source boundary
+    # matches (addToAllField append semantics), in-source phrases too
+    assert got(A.phrase(["alpha", "heading"], "_all")) == {0}
+    assert got(A.phrase(["heading", "omega"], "_all")) == {0}
+    # the single-source 'text' field is untouched by the multi-source map
+    assert got(A.token("omega", "text")) == set()
+    assert got(A.token("alpha", "text")) == {0}

@@ -51,9 +51,15 @@ def _iceberg_available(spark) -> bool:
 
 def test_iceberg_branch(spark, work_dir):
     """Runs only where Iceberg jars are on the classpath (not this
-    sandbox): the same seam must round-trip through format('iceberg')."""
+    sandbox): the same seam must round-trip through format('iceberg').
+    Set YAII_ICEBERG_JARS=<runtime-jar paths> before the session starts
+    and get_spark wires the jars + extensions in, so any jar-equipped
+    environment proves this end-to-end with zero code changes."""
     if not _iceberg_available(spark):
-        pytest.skip("no Iceberg jars on the classpath")
+        pytest.skip(
+            "no Iceberg jars on the classpath "
+            "(set YAII_ICEBERG_JARS to run this end-to-end)"
+        )
     spark.conf.set("spark.sql.catalog.spark_catalog",
                    "org.apache.iceberg.spark.SparkSessionCatalog")
     try:

@@ -195,6 +195,81 @@ def test_compile_predicate_matches_engine(spark, bool_index, name, qf):
     assert stream_form == engine, (name, stream_form, engine)
 
 
+def test_index_append_sink_commits_segments(spark, stream_dir, tmp_path):
+    """Two micro-batches land as DISJOINT durable segments; queries
+    over the union match a one-shot batch build doc-for-doc (url-keyed
+    — the sink assigns its own dense ids), corpus stats are recomputed
+    across batches, and checkpoints/term_stats stay consistent
+    (VERDICT r3 #4)."""
+    from yaii_spark.indexer import build_index
+    from yaii_spark.queries.bm25 import bm25_topk
+    from yaii_spark.queries.executor import execute_boolean, search
+    from yaii_spark.storage import IndexCatalog
+    from yaii_spark.streaming import index_append_sink
+
+    idx = str(tmp_path / "stream_idx")
+    ckpt = str(tmp_path / "sink_ckpt")
+    b1 = gen_pages(spark, 30, include_fixtures=True)
+    b2 = gen_pages(spark, 90, include_fixtures=False).filter(F.col("doc_id") >= 30)
+
+    def run_batch(df):
+        df.write.mode("append").parquet(stream_dir)
+        q = index_append_sink(
+            spark, stream_dir, PAGES_SCHEMA, idx, seg_size=16,
+            checkpoint_dir=ckpt, trigger_available_now=True,
+            stored_cols=["url", "text", "lang", "num_attr"],
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    run_batch(b1)
+    cat = IndexCatalog(spark, idx)
+    segs1 = {r.seg_id for r in cat.seg_meta().collect()}
+    assert cat.corpus_stats().n_docs == 30
+    run_batch(b2)
+    cat = IndexCatalog(spark, idx)  # fresh caches (stats changed)
+    segs2 = {r.seg_id for r in cat.seg_meta().collect()}
+    assert segs1 < segs2 and len(segs2) > len(segs1)  # batch 2 = new segs only
+    stats = cat.corpus_stats()
+    assert stats.n_docs == 90
+    # checkpoints cover every segment exactly once
+    ck = cat.checkpoints().collect()
+    assert {r.seg_id for r in ck} == segs2 and len(ck) == len(segs2)
+
+    # one-shot reference build over the same pages (its own dense ids)
+    ref_dir = str(tmp_path / "oneshot_idx")
+    build_index(
+        spark, b1.unionByName(b2), ref_dir, seg_size=16,
+        stored_cols=["url", "text", "lang", "num_attr"],
+    )
+    ref = IndexCatalog(spark, ref_dir)
+    assert abs(ref.corpus_stats().avgdl - stats.avgdl) < 1e-9
+
+    def urls(cat_, q):
+        got = search(cat_, q, projection=["url"]).collect()
+        return {r.url for r in got}
+
+    for q in [A.token("lorem"), A.token("url"), A.not_(A.token("url")),
+              A.phrase(["lorem", "ipsum"])]:
+        assert urls(cat, q) == urls(ref, q), q
+    # BM25 scores identical per url (stats are corpus-wide on both
+    # sides); pruned path falls back to exact under drifted avgdl_built
+    # but must return the same rows
+    def scored(cat_, prune):
+        # k covers every match: the two indexes assign different doc
+        # ids, so a k that cuts inside a score tie would select
+        # different (url-wise) docs on each side
+        top = bm25_topk(cat_, ["url", "wcsfc"], k=200, prune=prune)
+        docs = cat_.docs().select("doc_id", "url")
+        return {
+            (r.url, round(r.score, 9))
+            for r in top.join(docs, "doc_id").collect()
+        }
+
+    assert scored(cat, False) == scored(ref, False)
+    assert scored(cat, True) == scored(ref, True)
+
+
 def test_future_mode_phrase(spark, stream_dir):
     """A FUTURE continuous query with a phrase leaf (the round-2 gap:
     compile_predicate used to raise on Phrase)."""

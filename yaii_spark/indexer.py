@@ -287,6 +287,38 @@ def _encode_dl_udf(lds: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"n_docs": n_out, "dl_bin": b_out})
 
 
+def assign_dense_ids(
+    df: DataFrame, start: int = 0, id_col: str = "doc_id"
+) -> DataFrame:
+    """Dense ids `start..start+n-1` WITHOUT a global sort: per-partition
+    row counts are collected (one tiny row per partition — bounded by
+    parallelism, never by data), cumulative offsets broadcast back, and
+    each row gets offset + within-partition rank. This is the standard
+    scalable dense-id assignment (a global row_number() would funnel
+    the whole batch through one task). Deterministic given the input's
+    partition layout (stable for file-backed batches)."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    parts = df.withColumn("_pid", F.spark_partition_id())
+    counts = {
+        r._pid: r.c
+        for r in parts.groupBy("_pid").agg(F.count("*").alias("c")).collect()
+    }
+    acc = int(start)
+    offs = []
+    for pid in sorted(counts):
+        offs.append((pid, acc))
+        acc += int(counts[pid])
+    off_df = spark.createDataFrame(offs or [(0, int(start))], "_pid int, _off long")
+    w = Window.partitionBy("_pid").orderBy(F.monotonically_increasing_id())
+    return (
+        parts.join(F.broadcast(off_df), "_pid")
+        .withColumn(id_col, F.col("_off") + F.row_number().over(w) - F.lit(1))
+        .drop("_pid", "_off")
+    )
+
+
 def build_index(
     spark: SparkSession,
     pages: DataFrame,
@@ -301,6 +333,7 @@ def build_index(
     resume: bool = True,
     max_segments: int | None = None,
     postings_shards: int = 16,
+    append: bool = False,
 ) -> dict:
     """Build (or resume) the inverted index for `pages` under `out_dir`.
 
@@ -315,7 +348,18 @@ def build_index(
     `max_segments` limits how many pending segments this invocation
     builds — used by the resumability test to simulate a mid-build kill
     (FIXTURES.md §6).
+
+    `append=True` is the incremental-ingest mode (streaming.
+    index_append_sink): `pages` is a NEW batch occupying fresh segment
+    ids, and the final corpus_stats (n_docs, avgdl) are recomputed from
+    the on-disk seg_meta dl blobs — the durable union of every batch —
+    instead of this batch alone (idempotent under retries). Appended
+    segments' block-max bounds are computed under the batch-local avgdl
+    (recorded as seg_meta.avgdl_built); BM25 pruning detects the drift
+    and scores those segments exactly until a merge refreshes bounds.
     """
+    if append and not resume:
+        raise ValueError("append=True requires resume=True (checkpoint append)")
     t0 = time.time()
     # a non-resuming build over an existing index dir must not inherit
     # stale partitions: dynamic overwrite only replaces seg_ids present
@@ -349,7 +393,15 @@ def build_index(
         if src == text_col and an in ("standard", "all")
     }
     slow_fields = {f: sa for f, sa in fields.items() if f not in fast_fields}
-    slow_srcs = sorted({src for (src, _an) in slow_fields.values()})
+    # a field's source may be a LIST of columns — yaii's addToAllField
+    # collects every field's values into £_ALL (base-inverted-index.ts:
+    # 141-161); the token streams concatenate in list order with
+    # sequential positions, exactly the reference's append semantics
+    slow_srcs = sorted({
+        s
+        for (src, _an) in slow_fields.values()
+        for s in (src if isinstance(src, (list, tuple)) else [src])
+    })
     # tokenize input: ONLY the columns the analyzer consumers need —
     # the persisted batch must never hold the wide page row (the html
     # binary in particular): at web scale the cached bytes ARE the
@@ -508,7 +560,19 @@ def build_index(
         # pandas UDF) — the X1 analyzer extension point.
         slow_parts = []
         for fname, (src, analyzer) in sorted(slow_fields.items()):
-            tcol = (analyzer if callable(analyzer) else ANALYZERS[analyzer])(F.col(src))
+            an = analyzer if callable(analyzer) else ANALYZERS[analyzer]
+            if isinstance(src, (list, tuple)):
+                # multi-source field: concat per-source token arrays →
+                # ONE posexplode with sequential positions (null
+                # sources contribute nothing, not a null concat)
+                tcol = F.concat(
+                    *[
+                        F.coalesce(an(F.col(s)), F.array().cast("array<string>"))
+                        for s in src
+                    ]
+                )
+            else:
+                tcol = an(F.col(src))
             slow_parts.append(
                 batch.select(
                     "seg_id",
@@ -614,6 +678,34 @@ def build_index(
     )
     from yaii_spark.storage import FORMAT_VERSION
 
+    if append:
+        # corpus stats over the durable UNION of every appended batch:
+        # decode each segment's dl blob distributed (one row per
+        # segment reaches Python — 10^6 rows at 10^12 docs, never one
+        # per doc) and aggregate count + sum
+        def _dl_stats(it):
+            from yaii_spark.codec import varint_decode as _vd
+
+            for pdf in it:
+                ns, ss = [], []
+                for blob in pdf["dl_bin"]:
+                    d = _vd(blob)
+                    ns.append(int(d.size))
+                    ss.append(float(d.sum()))
+                yield pd.DataFrame({"n": ns, "s": ss})
+
+        srow = (
+            read_table(spark, os.path.join(out_dir, "seg_meta"))
+            .select("dl_bin")
+            .mapInPandas(_dl_stats, "n long, s double")
+            .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+            .collect()[0]
+        )
+        metrics["n_docs_batch"] = n_total
+        n_total = int(srow["n"])
+        avgdl = float(srow["s"]) / n_total
+        metrics["n_docs_total"] = n_total
+        metrics["avgdl"] = avgdl
     cs_df = spark.createDataFrame(
         [(n_total, avgdl, float(k1), float(b), int(seg_size), BLOCK_SIZE,
           FORMAT_VERSION)],
@@ -646,7 +738,8 @@ def build_index(
 
     docs.unpersist()
     metrics["wall_sec"] = time.time() - t0
-    metrics["docs_per_sec"] = n_total / metrics["wall_sec"] if metrics["wall_sec"] else 0.0
+    built = metrics.get("n_docs_batch", n_total)  # batch size in append mode
+    metrics["docs_per_sec"] = built / metrics["wall_sec"] if metrics["wall_sec"] else 0.0
     return metrics
 
 

@@ -51,6 +51,16 @@ def get_spark(
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.sql.parquet.compression.codec", "snappy")
     )
+    # YAII_ICEBERG_JARS=<paths> puts Iceberg runtime jars on the
+    # classpath so the storage seam's iceberg branch (and its
+    # otherwise-skipped test) runs end-to-end in any jar-equipped
+    # environment without code changes — this sandbox image has none
+    iceberg_jars = os.environ.get("YAII_ICEBERG_JARS")
+    if iceberg_jars:
+        builder = builder.config("spark.jars", iceberg_jars).config(
+            "spark.sql.extensions",
+            "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions",
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -199,6 +199,62 @@ def continuous_query(
     return stream_df, cur
 
 
+def index_append_sink(
+    spark: SparkSession,
+    stream_dir: str,
+    schema,
+    index_dir: str,
+    seg_size: int = 1 << 20,
+    checkpoint_dir: str | None = None,
+    trigger_available_now: bool = False,
+    **build_kwargs,
+):
+    """Durable streaming ingest: every micro-batch of arriving pages is
+    committed as NEW index segments via ``build_index(append=True)`` —
+    the streaming-commit half of the reference's "added" batches
+    (base-inverted-index.ts:283-287 queues adds into the mutable
+    segment; :511-534 commits it immutable). continuous_query covers
+    the query side (fresh batches match FUTURE filters); this sink
+    makes those batches durable and searchable by every later batch
+    query (SURVEY §3.4).
+
+    Each batch takes a fresh segment range (next free seg_id), so
+    batches never share a segment and the per-segment checkpoints keep
+    a replayed batch from double-writing completed segments. Corpus
+    stats are recomputed from durable state after each commit
+    (idempotent); term_stats always re-aggregates ALL on-disk postings.
+
+    Returns the started StreamingQuery (caller stops it)."""
+    from yaii_spark.indexer import assign_dense_ids, build_index
+    from yaii_spark.storage import IndexCatalog, read_table
+
+    src = spark.readStream.schema(schema).parquet(stream_dir)
+
+    def commit(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sp = batch_df.sparkSession
+        start = 0
+        if IndexCatalog(sp, index_dir).exists():
+            mx = (
+                read_table(sp, f"{index_dir}/seg_meta")
+                .agg(F.max(F.col("seg_id").cast("long")))
+                .collect()[0][0]
+            )
+            start = (int(mx) + 1) * seg_size
+        pages = assign_dense_ids(batch_df, start)
+        build_index(
+            sp, pages, index_dir, seg_size=seg_size, append=True, **build_kwargs
+        )
+
+    w = src.writeStream.foreachBatch(commit)
+    if checkpoint_dir:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def streaming_dedup(
     src: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
