@@ -130,6 +130,7 @@ def test_slop_chain_matches_greedy_reference(doc_positions, nterms, slop):
     from yaii_spark.queries.executor import _ordered_window, _verify_slop_chain
 
     rng = np.random.default_rng(7)
+    lists_per_term = []
     per_term = []
     for j in range(nterms):
         pls = []
@@ -137,10 +138,12 @@ def test_slop_chain_matches_greedy_reference(doc_positions, nterms, slop):
             # derive a distinct sorted position set per (term, doc)
             arr = np.unique((np.array(base) + rng.integers(0, 3, len(base))) % 32)
             pls.append(arr.astype(np.int64))
-        per_term.append(pls)
+        lists_per_term.append(pls)
+        counts = np.array([p.size for p in pls], dtype=np.int64)
+        per_term.append((np.concatenate(pls), counts))
     mask = _verify_slop_chain(per_term, slop)
     for d in range(len(doc_positions)):
-        qs = [per_term[j][d] - j for j in range(nterms)]
+        qs = [lists_per_term[j][d] - j for j in range(nterms)]
         assert mask[d] == _ordered_window(qs, slop), (d, qs, slop)
 
 

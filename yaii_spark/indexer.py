@@ -901,13 +901,15 @@ def merge_segments(
 
     def merge_shard(post_pdf: pd.DataFrame, meta_pdf: pd.DataFrame) -> pd.DataFrame:
         from yaii_spark.codec import (
-            decode_positions,
+            block_offsets_from_lengths,
             delta_decode,
             delta_decode_blocked,
             delta_encode_blocked,
-            encode_positions_blocked,
+            position_byte_lengths,
             varint_decode,
+            varint_encode,
             varint_encode_blocked,
+            varint_lengths,
         )
 
         cols = [
@@ -944,19 +946,37 @@ def merge_segments(
                 [delta_decode_blocked(x, block_size) for x in g["doc_ids_bin"]]
             )
             tfs = np.concatenate([varint_decode(x) for x in g["tfs_bin"]])
-            pos_lists = []
-            for pb, tb in zip(g["pos_bin"], g["tfs_bin"]):
-                pos_lists.extend(decode_positions(pb, varint_decode(tb).astype(np.int64)))
             local = (ids - base).astype(np.int64)
+            # position streams: per-doc deltas restart at doc
+            # boundaries, and doc order is just the old-segment concat
+            # order — so the merged stream is the VERBATIM byte concat
+            # (LEB128 here is canonical, so this equals a re-encode);
+            # only per-doc byte lengths are derived (one vectorized
+            # varint_lengths pass) for the block offsets. No per-doc
+            # decode loop — at 1M docs that loop dominated merge time.
+            pos_cat = b"".join(g["pos_bin"])
+            keep = None
             if purged_local is not None and purged_local.size:
-                # expunge deletes: drop the tombstoned docs' postings
-                # (and their position lists) from the merged lists
-                keep = ~np.isin(local, purged_local, assume_unique=True)
-                if not keep.all():
-                    ids, tfs, local = ids[keep], tfs[keep], local[keep]
-                    pos_lists = [p for p, k in zip(pos_lists, keep) if k]
+                k_ = ~np.isin(local, purged_local, assume_unique=True)
+                if not k_.all():
+                    keep = k_
+            if keep is not None:
+                # expunge deletes: drop purged docs' postings + their
+                # position delta runs (element mask, still vectorized)
+                deltas = varint_decode(pos_cat)
+                keep_elem = np.repeat(keep, tfs.astype(np.int64))
+                kept = deltas[keep_elem]
+                ids, local = ids[keep], local[keep]
+                tfs = tfs[keep]
                 if ids.size == 0:
-                    continue  # every posting was deleted — drop the term row
+                    continue  # every posting was deleted — drop the term
+                pos_bin_b = varint_encode(kept)
+                cs = np.concatenate(([0], np.cumsum(varint_lengths(kept))))
+                ends_ix = np.cumsum(tfs.astype(np.int64))
+                doc_lens = cs[ends_ix] - cs[ends_ix - tfs.astype(np.int64)]
+            else:
+                pos_bin_b = pos_cat
+                doc_lens = position_byte_lengths(pos_cat, tfs.astype(np.int64))
             norms = _tf_norm(tfs, dls[local], avgdl, k1, b)
             nblocks = math.ceil(ids.size / block_size)
             bmax = [
@@ -975,9 +995,10 @@ def merge_segments(
             out["block_id_offs"].append([int(x) for x in id_offs])
             out["block_tf_offs"].append([int(x) for x in tf_offs])
             out["block_first_ids"].append([int(x) for x in ids[::block_size]])
-            pos_bin, pos_offs = encode_positions_blocked(pos_lists, block_size)
-            out["pos_bin"].append(pos_bin)
-            out["block_pos_offs"].append([int(x) for x in pos_offs])
+            out["pos_bin"].append(pos_bin_b)
+            out["block_pos_offs"].append(
+                [int(x) for x in block_offsets_from_lengths(doc_lens, block_size)]
+            )
             out["block_maxes"].append(bmax)
             out["max_norm"].append(float(norms.max()) if norms.size else 0.0)
         if not out["seg_id"]:

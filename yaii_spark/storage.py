@@ -169,6 +169,15 @@ class IndexCatalog:
         # is immutable (rebuilds land in a new dir), so dictionary
         # lookups memoize like any engine's term-dictionary cache
         self._ts_cache: dict[tuple[str, str], tuple[int, int] | None] = {}
+        # base DataFrames per immutable table: re-creating one per query
+        # re-lists the partition directories (an InMemoryFileIndex
+        # build, a driver JOB above the parallel-discovery threshold) —
+        # at 10^6 segments / 256 term_stats buckets that listing IS the
+        # per-query latency floor. Tombstones are deliberately NOT
+        # cached (delete_docs appends between queries). After an
+        # in-place rebuild or append, use a fresh catalog
+        # (entrypoint._catalog evicts on the commit marker's mtime).
+        self._tables: dict[str, DataFrame] = {}
 
     def path(self, table: str) -> str:
         return os.path.join(self.root, table)
@@ -218,8 +227,14 @@ class IndexCatalog:
         empty meta groups in a 1M-doc merge."""
         return df.withColumn("seg_id", F.col("seg_id").cast("long"))
 
+    def _table_df(self, table: str) -> DataFrame:
+        df = self._tables.get(table)
+        if df is None:
+            df = self._tables[table] = read_table(self.spark, self.path(table))
+        return df
+
     def docs(self) -> DataFrame:
-        return self._seg_long(read_table(self.spark, self.path("docs")))
+        return self._seg_long(self._table_df("docs"))
 
     def postings(
         self,
@@ -234,7 +249,7 @@ class IndexCatalog:
         (field, term), so row-group min/max stats prune equality AND
         range lookups (the B-tree-like path); contains() degrades to an
         in-segment dictionary scan by design."""
-        df = self._seg_long(read_table(self.spark, self.path("postings")))
+        df = self._seg_long(self._table_df("postings"))
         if field_terms is None and not scans:
             return df
         cond = None
@@ -261,10 +276,10 @@ class IndexCatalog:
         return df.filter(cond if cond is not None else F.lit(False))
 
     def seg_meta(self) -> DataFrame:
-        return self._seg_long(read_table(self.spark, self.path("seg_meta")))
+        return self._seg_long(self._table_df("seg_meta"))
 
     def term_stats(self) -> DataFrame:
-        return read_table(self.spark, self.path("term_stats"))
+        return self._table_df("term_stats")
 
     def checkpoints(self) -> DataFrame:
         return read_table(self.spark, self.path("checkpoints"))
