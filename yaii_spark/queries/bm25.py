@@ -386,6 +386,16 @@ def bm25_topk(
     # bound is only rank-safe when it matches what the writer used
     block = stats.block_size
     use_prune = prune and mode == "or"
+    if use_prune:
+        # MaxScore prunes by shrinking the ESSENTIAL set below the
+        # rarest terms — if even the rarest query term is dense
+        # (df/N above ~30%), θ can never climb past the remaining
+        # upper bounds and the pruned pass is pure bookkeeping over
+        # exact (measured 2.7x slower on an all-dense pair at 1M docs).
+        # Both paths return byte-identical output, so fall back.
+        min_df = min(df for (df, _cf) in tstats.values())
+        if min_df / max(stats.n_docs, 1) > 0.3:
+            use_prune = False
 
     def score(pdf: pd.DataFrame, deleted: np.ndarray | None) -> pd.DataFrame:
         if pdf.empty:
