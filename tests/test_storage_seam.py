@@ -98,3 +98,23 @@ def test_no_raw_parquet_io_outside_seam():
             if read_re.search(code):
                 offenders.append(f"{os.path.basename(path)}:{i} (read)")
     assert offenders == [], offenders
+
+
+def test_catalog_prewarm(spark, work_dir):
+    """prewarm() eagerly builds the memoized base DataFrames + corpus
+    stats; queries afterwards reuse them (no per-query re-listing)."""
+    from yaii_spark.indexer import build_index
+    from yaii_spark.queries import ast as A
+    from yaii_spark.queries.executor import execute_boolean
+    from yaii_spark.storage import IndexCatalog
+    from yaii_spark.synth import gen_boolean_pages
+
+    out = f"{work_dir}/prewarm_idx"
+    build_index(spark, gen_boolean_pages(spark), out, seg_size=8)
+    cat = IndexCatalog(spark, out).prewarm()
+    assert set(cat._tables) == {"docs", "postings", "seg_meta", "term_stats"}
+    assert cat._stats is not None
+    before = dict(cat._tables)
+    assert {r.doc_id for r in execute_boolean(cat, A.token("abc")).collect()} == {12, 14}
+    # the query reused the prewarmed DataFrames (same objects, no relist)
+    assert all(cat._tables[k] is before[k] for k in before)

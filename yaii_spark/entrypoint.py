@@ -105,6 +105,13 @@ def get_index(
                 "_all": ("text", "all"),
                 "refs": ("text", ref_udf),
             }
+        elif variant == "multi_all":
+            # yaii addToAllField over MULTIPLE fields: _all collects
+            # the token streams of text AND source
+            fields = {
+                "text": ("text", "standard"),
+                "_all": (["text", "source"], "all"),
+            }
         docs = read_table(spark, os.path.join(sf_dir, "documents.parquet"))
         build_index(
             spark,
@@ -291,6 +298,14 @@ def q_rule_field(spark, sf_dir):
     """Rule-tokenized field (mooTokenizer wired into the build, F4/X1)."""
     cat = get_index(spark, sf_dir, variant="rule")
     return execute_boolean(cat, A.token("value", "refs"))
+
+
+def q_multi_source_all(spark, sf_dir):
+    """_all collecting TWO source columns (yaii addToAllField,
+    base-inverted-index.ts:141-161): a token that only ever occurs in
+    the `source` column ('src7') matches through _all."""
+    cat = get_index(spark, sf_dir, variant="multi_all")
+    return execute_boolean(cat, A.token("src7", "_all"))
 
 
 def q_last(spark, sf_dir):
@@ -543,6 +558,8 @@ def queries():
         "q_text_contains": _bool_q(lambda: A.text_contains("ort")),
         # custom analyzer field (F4 mooTokenizer / X1 extension point)
         "q_rule_field": q_rule_field,
+        # multi-source _all (S4 addToAllField over multiple fields)
+        "q_multi_source_all": q_multi_source_all,
         # attribute predicates (P3-P5)
         "q_number_eq": _bool_q(lambda: A.number("n_chars", 157)),
         "q_number_range": _bool_q(lambda: A.number_range("n_chars", 100, 200)),
@@ -662,6 +679,13 @@ WHERE list_contains(
     regexp_extract_all(text, '[@%&][A-Za-z0-9+/=]+\.[a-z0-9]+|[^\s\-,;:.]+'),
     t -> lower(t)),
   'value')""",
+        # the engine's _all here tokenizes text AND source; 'src7'
+        # cannot appear in text (letters-only vocab), so the source
+        # side is restated exactly and the text side kept for rigor
+        "q_multi_source_all": f"WITH {_TOK_CTE} SELECT t.doc_id FROM tok t "
+        "JOIN documents d USING (doc_id) WHERE list_contains("
+        f"list_filter(t.toks, x -> NOT list_contains({_stoplist_sql()} || [''], x)), 'src7') "
+        "OR lower(trim(d.source)) = 'src7'",
         "q_last": "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id DESC LIMIT 1",
         "q_group_by_lang": "SELECT lang, count(*) AS n_docs, max(n_chars) AS max_chars, "
         "min(doc_id) AS min_doc FROM documents GROUP BY lang",

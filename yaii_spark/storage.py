@@ -233,6 +233,16 @@ class IndexCatalog:
             df = self._tables[table] = read_table(self.spark, self.path(table))
         return df
 
+    def prewarm(self) -> "IndexCatalog":
+        """Eagerly build the base DataFrames (partition-directory
+        listings — driver jobs at 10^6 segments) and load corpus stats,
+        pulling the cold-start cost out of the first query's latency
+        path. Returns self for chaining."""
+        self.corpus_stats()
+        for t in ("docs", "postings", "seg_meta", "term_stats"):
+            self._table_df(t)
+        return self
+
     def docs(self) -> DataFrame:
         return self._seg_long(self._table_df("docs"))
 
