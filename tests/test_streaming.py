@@ -270,6 +270,46 @@ def test_index_append_sink_commits_segments(spark, stream_dir, tmp_path):
     assert scored(cat, True) == scored(ref, True)
 
 
+def test_append_committer_replay_idempotent(spark, tmp_path):
+    """A replayed micro-batch (same batch_id — Spark re-runs a batch
+    whose foreachBatch died before the stream checkpoint advanced)
+    must re-land on its ORIGINAL segment range via the durable sink
+    ledger, not derive a new one and index the docs twice."""
+    from yaii_spark.ops.aggregations import index_size
+    from yaii_spark.queries import ast as A
+    from yaii_spark.queries.executor import execute_boolean
+    from yaii_spark.storage import IndexCatalog
+    from yaii_spark.streaming import make_append_committer
+
+    idx = str(tmp_path / "replay_idx")
+    commit = make_append_committer(
+        idx, seg_size=16, stored_cols=["url", "text", "lang", "num_attr"]
+    )
+    b1 = gen_pages(spark, 30, include_fixtures=True)
+    b2 = gen_pages(spark, 50, include_fixtures=False).filter(F.col("doc_id") >= 30)
+    commit(b1, 0)
+    n1 = index_size(IndexCatalog(spark, idx))
+    commit(b1, 0)  # replay of batch 0 — must not duplicate
+    cat = IndexCatalog(spark, idx)
+    assert index_size(cat) == n1 == 30
+    commit(b2, 1)
+    cat = IndexCatalog(spark, idx)
+    assert index_size(cat) == 50
+    # ledger has exactly one range per batch, ranges disjoint
+    from yaii_spark.storage import read_table
+
+    led = {r.batch_id: r.start_id for r in read_table(spark, f"{idx}/sink_ledger").collect()}
+    assert len(led) == 2 and led[0] == 0 and led[1] >= 32
+    # content still correct after the replay
+    got = execute_boolean(cat, A.token("lorem"))
+    assert got.count() == 1
+    # replay of an already-complete batch AFTER later batches landed is
+    # also safe (resume skips its completed segments)
+    commit(b1, 0)
+    cat = IndexCatalog(spark, idx)
+    assert index_size(cat) == 50
+
+
 def test_future_mode_phrase(spark, stream_dir):
     """A FUTURE continuous query with a phrase leaf (the round-2 gap:
     compile_predicate used to raise on Phrase)."""

@@ -219,40 +219,82 @@ def index_append_sink(
     query (SURVEY §3.4).
 
     Each batch takes a fresh segment range (next free seg_id), so
-    batches never share a segment and the per-segment checkpoints keep
-    a replayed batch from double-writing completed segments. Corpus
-    stats are recomputed from durable state after each commit
-    (idempotent); term_stats always re-aggregates ALL on-disk postings.
+    batches never share a segment. The batch_id → segment-range
+    assignment is made DURABLE first (a one-row append to
+    `<index>/sink_ledger` before any index write): a replayed batch —
+    Spark re-runs a micro-batch whose foreachBatch crashed before the
+    stream checkpoint advanced — reuses its original range, where the
+    per-segment build checkpoints + dynamic partition overwrite make
+    the re-run idempotent. Without the ledger a replay would derive a
+    NEW range past the failed attempt's partial segments and index the
+    same docs twice. Corpus stats are recomputed from durable state
+    after each commit (idempotent); term_stats always re-aggregates
+    ALL on-disk postings.
 
     Returns the started StreamingQuery (caller stops it)."""
-    from yaii_spark.indexer import assign_dense_ids, build_index
-    from yaii_spark.storage import IndexCatalog, read_table
-
     src = spark.readStream.schema(schema).parquet(stream_dir)
-
-    def commit(batch_df, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        sp = batch_df.sparkSession
-        start = 0
-        if IndexCatalog(sp, index_dir).exists():
-            mx = (
-                read_table(sp, f"{index_dir}/seg_meta")
-                .agg(F.max(F.col("seg_id").cast("long")))
-                .collect()[0][0]
-            )
-            start = (int(mx) + 1) * seg_size
-        pages = assign_dense_ids(batch_df, start)
-        build_index(
-            sp, pages, index_dir, seg_size=seg_size, append=True, **build_kwargs
-        )
-
-    w = src.writeStream.foreachBatch(commit)
+    committer = make_append_committer(
+        index_dir, seg_size=seg_size, **build_kwargs
+    )
+    w = src.writeStream.foreachBatch(committer)
     if checkpoint_dir:
         w = w.option("checkpointLocation", checkpoint_dir)
     if trigger_available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def make_append_committer(index_dir: str, seg_size: int = 1 << 20, **build_kwargs):
+    """The foreachBatch body of index_append_sink, exposed so replay
+    semantics are directly testable: call it twice with the same
+    batch_id and the second call must be a no-op-equivalent re-run of
+    the same segment range."""
+    from yaii_spark.indexer import assign_dense_ids, build_index
+    from yaii_spark.storage import (
+        IndexCatalog,
+        fs_exists,
+        read_table,
+        write_table,
+    )
+
+    def commit(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sp = batch_df.sparkSession
+        ledger = f"{index_dir}/sink_ledger"
+        start = None
+        if fs_exists(sp, ledger):
+            rows = (
+                read_table(sp, ledger)
+                .filter(F.col("batch_id") == int(batch_id))
+                .collect()
+            )
+            if rows:  # replay: reuse the original range
+                start = int(rows[0].start_id)
+        if start is None:
+            start = 0
+            if IndexCatalog(sp, index_dir).exists():
+                mx = (
+                    read_table(sp, f"{index_dir}/seg_meta")
+                    .agg(F.max(F.col("seg_id").cast("long")))
+                    .collect()[0][0]
+                )
+                start = (int(mx) + 1) * seg_size
+            # durable BEFORE any index write — the range assignment must
+            # survive a crash mid-build so the replay lands on it
+            write_table(
+                sp.createDataFrame(
+                    [(int(batch_id), int(start))], "batch_id long, start_id long"
+                ),
+                ledger,
+                mode="append" if fs_exists(sp, ledger) else "overwrite",
+            )
+        pages = assign_dense_ids(batch_df, start)
+        build_index(
+            sp, pages, index_dir, seg_size=seg_size, append=True, **build_kwargs
+        )
+
+    return commit
 
 
 def streaming_dedup(
