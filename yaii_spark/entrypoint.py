@@ -346,6 +346,46 @@ def q_ngram_jaccard_adjacent(spark, sf_dir):
     return D.ngram_jaccard(docs, pairs.select("id_a", "id_b"))
 
 
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """Banded MinHash-LSH candidate pairs at the driver gate: 4 hashes
+    in 2 bands of 2; the oracle recomputes the identical md5-family
+    signatures and joins on exact band-value equality (the engine's
+    md5 band-hash equality is the same relation up to md5 collisions)."""
+    return D.minhash_lsh_pairs(_docs(spark, sf_dir), num_hashes=4, bands=2)
+
+
+def q_stream_dedup(spark, sf_dir):
+    """Stateful cross-batch streaming dedup (applyInPandasWithState —
+    ST-class custom stateful operator) run to completion over the
+    documents table as ONE availableNow micro-batch (single input
+    file), so the emitted survivors are exactly min(doc_id) per content
+    hash — fully relationally restatable, giving this streaming
+    operator a value-checked oracle instead of a rows-only check."""
+    import tempfile
+    import uuid
+
+    from yaii_spark.storage import write_table
+    from yaii_spark.streaming import streaming_dedup
+
+    d = tempfile.mkdtemp(prefix="yaii_stream_dedup_")
+    docs = _docs(spark, sf_dir)
+    write_table(docs.coalesce(1), f"{d}/in")
+    src = spark.readStream.schema(docs.schema).parquet(f"{d}/in")
+    name = f"sdedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_dedup(src)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{d}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup CLUSTERING: adjacent-doc unigram-Jaccard edges (≥0.8)
     → distributed connected components (min-label + pointer jumping) →
@@ -589,6 +629,9 @@ def queries():
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_clusters": q_dedup_clusters,
         "q_minhash_sig": q_minhash_sig,
+        "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
+        # streaming (ST): stateful operator with a full value oracle
+        "q_stream_dedup": q_stream_dedup,
         "q_ngram_jaccard_adjacent": q_ngram_jaccard_adjacent,
         "q_simhash": q_simhash,
         # similarity search
@@ -713,6 +756,17 @@ GROUP BY d.doc_id""",
 WITH tok AS (SELECT doc_id, regexp_split_to_array(trim({norm}), '\\s+') AS toks FROM documents),
 sh AS (SELECT doc_id, {shingle} AS sh FROM tok)
 SELECT doc_id, {mh_cols} FROM sh""",
+        # band 0 = (mh0, mh1), band 1 = (mh2, mh3) — the engine's
+        # 2-bands-of-2 slicing over the same 4 md5-family hashes
+        "q_minhash_lsh_pairs": f"""
+WITH tok AS (SELECT doc_id, regexp_split_to_array(trim({norm}), '\\s+') AS toks FROM documents),
+sh AS (SELECT doc_id, {shingle} AS sh FROM tok),
+sig AS (SELECT doc_id, {mh_cols} FROM sh)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE (a.mh0 = b.mh0 AND a.mh1 = b.mh1) OR (a.mh2 = b.mh2 AND a.mh3 = b.mh3)""",
+        "q_stream_dedup": f"SELECT md5({norm}) AS content_hash, "
+        "min(doc_id) AS keep_id FROM documents GROUP BY 1",
         "q_simhash": _simhash_sql(),
         "q_ngram_jaccard_adjacent": f"""
 WITH tok AS (SELECT doc_id, regexp_split_to_array(trim({norm}), '\\s+') AS toks FROM documents),
