@@ -145,3 +145,53 @@ def test_doc_postings_roundtrip(text):
         for i, tk in enumerate(stream):
             want.setdefault((fid, tk), []).append(i)
     assert got == want
+
+
+# -- v5 blocked positions: flat decode / block offsets / byte lengths -------
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(0, 500), min_size=1, max_size=12),
+        min_size=1, max_size=40,
+    ),
+    st.sampled_from([1, 2, 4, 8]),
+)
+def test_blocked_positions_roundtrip(raw_lists, block):
+    """encode_positions_blocked: stream bytes identical to
+    encode_positions; every block slice decodes independently via
+    decode_positions_flat; position_byte_lengths reconstructs the
+    offsets; flat decode == list decode."""
+    from yaii_spark.codec import (
+        block_offsets_from_lengths,
+        decode_positions,
+        decode_positions_flat,
+        encode_positions,
+        encode_positions_blocked,
+        position_byte_lengths,
+    )
+
+    pos_lists = [sorted(set(xs)) for xs in raw_lists]
+    tfs = np.array([len(p) for p in pos_lists], dtype=np.int64)
+    buf, offs = encode_positions_blocked(pos_lists, block)
+    assert buf == encode_positions(pos_lists)
+    # offsets reconstructable from the stream alone (merge's verbatim-
+    # concat path relies on this)
+    lens = position_byte_lengths(buf, tfs)
+    assert list(block_offsets_from_lengths(lens, block)) == list(offs)
+    # flat decode == per-doc decode
+    vals, starts = decode_positions_flat(buf, tfs)
+    as_lists = [
+        [int(x) for x in vals[s : s + n]] for s, n in zip(starts, tfs)
+    ]
+    assert as_lists == [[int(x) for x in p] for p in pos_lists]
+    assert [list(map(int, d)) for d in decode_positions(buf, tfs)] == as_lists
+    # every block slice decodes independently
+    nblocks = len(offs)
+    for bx in range(nblocks):
+        lo = int(offs[bx])
+        hi = int(offs[bx + 1]) if bx + 1 < nblocks else len(buf)
+        sl_tfs = tfs[bx * block : (bx + 1) * block]
+        v, s = decode_positions_flat(buf[lo:hi], sl_tfs)
+        got = [[int(x) for x in v[a : a + n]] for a, n in zip(s, sl_tfs)]
+        assert got == as_lists[bx * block : (bx + 1) * block]
