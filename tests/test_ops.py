@@ -152,6 +152,27 @@ def test_embedding_near_dups_blocked(emb):
         assert r.id_a < r.id_b and r.cosine >= 0.5
 
 
+def test_lsh_blocked_near_dups(emb):
+    """The scale-default wrapper: blocking key derived from random-
+    hyperplane LSH buckets. Every emitted pair must clear the
+    threshold, and high-threshold pairs (tiny angles — few planes cut
+    them) must match the exact all-pairs result."""
+    from yaii_spark.ops.dedup import lsh_blocked_near_dups
+
+    few = emb.limit(60)
+    dim = len(few.first().embedding)
+    got = lsh_blocked_near_dups(few, dim=dim, threshold=0.98, n_planes=4)
+    rows = got.collect()
+    for r in rows:
+        assert r.id_a < r.id_b and r.cosine >= 0.98
+    exact = {(r.id_a, r.id_b) for r in
+             embedding_near_dups(few, threshold=0.98, allow_all_pairs=True).collect()}
+    blocked = {(r.id_a, r.id_b) for r in rows}
+    assert blocked <= exact
+    if exact:  # near-identical vectors land in the same bucket
+        assert len(blocked) >= len(exact) * 0.5
+
+
 def test_embedding_near_dups_all_pairs_guard(emb):
     """block_col=None is an O(n²) cross join — must be an explicit
     opt-in, like simhash_candidates' allow_unbanded (VERDICT r3 #3)."""

@@ -481,8 +481,9 @@ def embedding_near_dups(
     if block_col is None and not allow_all_pairs:
         raise ValueError(
             "embedding_near_dups without block_col is an all-pairs cross "
-            "join; pass a blocking column (e.g. an LSH bucket) or opt in "
-            "explicitly with allow_all_pairs=True"
+            "join; pass a blocking column (lsh_blocked_near_dups derives "
+            "one from random-hyperplane LSH buckets) or opt in explicitly "
+            "with allow_all_pairs=True"
         )
     e = emb.select(
         F.col(id_col),
@@ -510,4 +511,25 @@ def embedding_near_dups(
             F.round(cos, 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
+    )
+
+
+def lsh_blocked_near_dups(
+    emb: DataFrame, dim: int, id_col: str = "vec_id", vec_col: str = "embedding",
+    threshold: float = 0.95, n_planes: int = 8, seed: int = 42,
+) -> DataFrame:
+    """embedding_near_dups with the blocking column derived from a
+    random-hyperplane LSH bucket (ops.similarity.with_lsh_bucket) —
+    the scale default: the pair join runs within buckets (shuffle and
+    comparisons ∝ bucket sizes, never n²). Standard LSH recall
+    tradeoff: a near-dup pair split across a hyperplane boundary is
+    missed; raise recall with fewer planes (bigger buckets) — at
+    threshold ≥0.9 the angle between dup vectors is tiny, so few
+    planes separate them."""
+    from yaii_spark.ops.similarity import with_lsh_bucket
+
+    bucketed = with_lsh_bucket(emb, dim, n_planes=n_planes, seed=seed, vec_col=vec_col)
+    return embedding_near_dups(
+        bucketed, id_col=id_col, vec_col=vec_col,
+        block_col="lsh_bucket", threshold=threshold,
     )
