@@ -479,6 +479,39 @@ SELECT vec_id, round({cos}, 6) AS cosine
 FROM c ORDER BY {cos} DESC, vec_id ASC LIMIT 5"""
 
 
+def get_ivf_index(spark, sf_dir: str, dim: int, n_cells: int = 8):
+    """Materialized IVF ANN table (cell-partitioned, cached like the
+    LSH one) + its centroids. Training is the deterministic bounded
+    driver sample (orderBy.limit), so repeated calls derive identical
+    centroids and the cached table stays consistent."""
+    from yaii_spark.storage import fs_exists, iceberg_format
+
+    emb = _emb(spark, sf_dir).filter("vec_id > 0")
+    cents = S.ivf_train(emb, n_cells=n_cells)
+    tag = hashlib.md5(
+        f"{sf_dir}|ann_ivf|{dim}|{n_cells}|v{FORMAT_VERSION}".encode()
+    ).hexdigest()[:12]
+    out = os.path.join(_CACHE_ROOT, tag)
+    marker = out if iceberg_format(spark) else os.path.join(out, "_SUCCESS")
+    if not fs_exists(spark, marker):
+        S.write_ann_index(emb, out, dim=dim, method="ivf", centroids=cents)
+    return S.read_ann_index(spark, out), cents
+
+
+def q_ann_ivf_full(spark, sf_dir):
+    """IVF ANN through the FULL machinery — kmeans training, cell
+    assignment, cell-partitioned materialized table, probe ordering,
+    in-cell exact rerank — probed at n_probe == n_cells, which makes
+    the result provably equal to exact cosine top-k: the brute-force
+    SQL is therefore a value-exact oracle for the whole pipeline
+    (partial-probe recall behavior is pinned in pytest, where the
+    data-derived centroids don't need an SQL restatement)."""
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in emb.filter("vec_id = 0").collect()[0].embedding]
+    tbl, cents = get_ivf_index(spark, sf_dir, dim=len(qv))
+    return S.ivf_ann_topk(tbl, qv, cents, k=5, n_probe=8)
+
+
 def q_embedding_neardup(spark, sf_dir):
     emb = _emb(spark, sf_dir).filter("vec_id < 100")
     return D.embedding_near_dups(emb, block_col="label", threshold=0.3)
@@ -637,6 +670,7 @@ def queries():
         # similarity search
         "q_cosine_topk": q_cosine_topk,
         "q_ann_lsh": q_ann_lsh,
+        "q_ann_ivf_full": q_ann_ivf_full,
         "q_embedding_neardup": q_embedding_neardup,
         # text analysis
         "q_token_counts": q_token_counts,
@@ -787,6 +821,17 @@ ORDER BY list_dot_product(embedding::DOUBLE[], q.qv)
             * sqrt(list_dot_product(q.qv, q.qv))) DESC, vec_id ASC
 LIMIT 5""",
         "q_ann_lsh": _ann_lsh_sql(),
+        "q_ann_ivf_full": """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_dot_product(embedding::DOUBLE[], q.qv)
+             / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+FROM embeddings, q WHERE vec_id > 0
+ORDER BY list_dot_product(embedding::DOUBLE[], q.qv)
+         / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+            * sqrt(list_dot_product(q.qv, q.qv))) DESC, vec_id ASC
+LIMIT 5""",
         "q_embedding_neardup": """
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 100)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
