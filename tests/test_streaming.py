@@ -58,6 +58,35 @@ def test_current_and_future_union(spark, stream_dir):
     assert {r.doc_id for r in out2.collect()} == {12, 14}
 
 
+def test_current_via_index_catalog(spark, stream_dir, bool_index):
+    """CURRENT_AND_FUTURE with the snapshot served by the committed
+    INDEX (posting-list engine) instead of a re-tokenizing scan — the
+    reference's committed + mutable split. Doc-for-doc identical to the
+    scan form, and the FUTURE side still sees fresh batches."""
+    q = A.and_(A.token("abc"), A.not_(A.token("efg")))
+    sdf, cur = continuous_query(
+        spark, q, QueryMode.CURRENT_AND_FUTURE, stream_dir, PAGES_SCHEMA,
+        current_catalog=bool_index,
+    )
+    assert {r.doc_id for r in cur.collect()} == {12, 14}
+    _, cur_scan = continuous_query(
+        spark, q, QueryMode.CURRENT, stream_dir, PAGES_SCHEMA,
+        current_df=gen_boolean_pages(spark),
+    )
+    assert {r.doc_id for r in cur.collect()} == {
+        r.doc_id for r in cur_scan.collect()
+    }
+    gen_boolean_pages(spark).write.mode("append").parquet(stream_dir)
+    out = _run_stream(spark, sdf, "fut_cat")
+    assert {r.doc_id for r in out.collect()} == {12, 14}
+    # sorted CURRENT through the index path (TakeOrderedAndProject)
+    _, cur_sorted = continuous_query(
+        spark, A.token("abc"), QueryMode.CURRENT, stream_dir, PAGES_SCHEMA,
+        current_catalog=bool_index, sort=[("num_attr", "desc")],
+    )
+    assert [r.doc_id for r in cur_sorted.collect()] == [14, 12]
+
+
 def test_sorted_future_raises(spark, stream_dir):
     # exact reference restriction (base-inverted-index.ts:431)
     with pytest.raises(ValueError, match="future queries cannot have sort"):

@@ -173,13 +173,23 @@ def continuous_query(
     current_df: DataFrame | None = None,
     text_col: str = "text",
     sort: list | None = None,
+    current_catalog=None,
 ):
     """Build the (stream, snapshot) pair for a continuous boolean query.
 
     Returns (streaming_df_or_None, current_result_df_or_None). The
     caller attaches a sink (memory/foreachBatch) and starts it —
     keeping start/stop at the edge makes the plan testable.
-    """
+
+    The CURRENT side evaluates against either `current_df` (per-row
+    scan with the compiled predicate — the small/ad-hoc path) or
+    `current_catalog` (an IndexCatalog: the committed-index snapshot
+    via the posting-list engine — the reference's CURRENT semantics,
+    base-inverted-index.ts:457-489, where the snapshot IS the committed
+    segments; at scale the scan path would re-tokenize the corpus per
+    subscription). With `index_append_sink` feeding the same index,
+    CURRENT_AND_FUTURE composes as committed-snapshot + fresh-batch
+    filters exactly like the reference's committed + mutable split."""
     if sort and mode is not QueryMode.CURRENT:
         # exact reference restriction (base-inverted-index.ts:431)
         raise ValueError("future queries cannot have sort clauses")
@@ -191,11 +201,24 @@ def continuous_query(
 
     cur = None
     if mode in (QueryMode.CURRENT, QueryMode.CURRENT_AND_FUTURE):
-        if current_df is None:
-            raise ValueError("CURRENT modes need the current snapshot df")
-        cur = _filtered(current_df, query, text_col)
-        if sort:
-            cur = cur.orderBy(*[F.col(c).asc() if d == "asc" else F.col(c).desc() for c, d in sort])
+        if current_catalog is not None:
+            from yaii_spark.queries.executor import search as _search
+
+            cur = _search(current_catalog, query, sort=sort)
+        elif current_df is not None:
+            cur = _filtered(current_df, query, text_col)
+            if sort:
+                cur = cur.orderBy(
+                    *[
+                        F.col(c).asc() if d == "asc" else F.col(c).desc()
+                        for c, d in sort
+                    ]
+                )
+        else:
+            raise ValueError(
+                "CURRENT modes need the current snapshot (current_df or "
+                "current_catalog)"
+            )
     return stream_df, cur
 
 
