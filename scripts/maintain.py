@@ -1,13 +1,18 @@
 """Index maintenance CLI — the ops surface next to submit_build.py.
 
-    python scripts/maintain.py info   --index /path/idx
-    python scripts/maintain.py delete --index /path/idx --ids 5,17,90
-    python scripts/maintain.py merge  --index /path/idx --output /path/idx2 --factor 8
+    python scripts/maintain.py info        --index /path/idx
+    python scripts/maintain.py delete      --index /path/idx --ids 5,17,90
+    python scripts/maintain.py bulk-delete --index /path/idx --ids-table /path/ids.parquet
+    python scripts/maintain.py merge       --index /path/idx --output /path/idx2 --factor 8
 
 `info` prints corpus stats + per-segment lineage as one JSON line;
 `delete` tombstones docs (queries exclude them immediately);
+`bulk-delete` tombstones every doc_id in a parquet table without a
+driver-side list (indexer.delete_docs_df — the 100-TB path);
 `merge` compacts `factor` adjacent segments into one (fully
-distributed — see indexer.merge_segments). All paths go through the
+distributed) and EXPUNGES tombstones in the same pass — postings and
+docs rows of deleted docs are dropped, the tombstone table removed
+(see indexer.merge_segments). All paths go through the
 storage seam, so the same commands work on Iceberg-backed indexes.
 """
 
@@ -23,15 +28,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("command", choices=["info", "delete", "merge"])
+    ap.add_argument("command", choices=["info", "delete", "bulk-delete", "merge"])
     ap.add_argument("--index", required=True, help="index root directory")
     ap.add_argument("--output", help="merge: output index directory")
     ap.add_argument("--factor", type=int, default=8, help="merge: segments per merged segment")
     ap.add_argument("--ids", default="", help="delete: comma-separated doc ids")
+    ap.add_argument("--ids-table", default="", help="bulk-delete: parquet path with a doc_id column")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
-    from yaii_spark.indexer import delete_docs, merge_segments
+    from yaii_spark.indexer import delete_docs, delete_docs_df, merge_segments
     from yaii_spark.session import get_spark
     from yaii_spark.storage import IndexCatalog
 
@@ -56,6 +62,13 @@ def main() -> None:
         if not ids:
             raise SystemExit("delete: pass --ids id1,id2,...")
         n = delete_docs(spark, args.index, ids)
+        print(json.dumps({"tombstoned": n}))
+    elif args.command == "bulk-delete":
+        if not args.ids_table:
+            raise SystemExit("bulk-delete: pass --ids-table <parquet path>")
+        from yaii_spark.storage import read_table
+
+        n = delete_docs_df(spark, args.index, read_table(spark, args.ids_table))
         print(json.dumps({"tombstoned": n}))
     else:
         if not args.output:

@@ -19,3 +19,21 @@ the reference file:line it re-expresses.
 __version__ = "0.1.0"
 
 from yaii_spark.session import get_spark  # noqa: F401
+
+# public API surface (a reference user's switch-over imports)
+from yaii_spark.indexer import (  # noqa: F401
+    assign_dense_ids,
+    build_index,
+    delete_docs,
+    delete_docs_df,
+    merge_segments,
+)
+from yaii_spark.queries import ast  # noqa: F401
+from yaii_spark.queries.bm25 import bm25_topk  # noqa: F401
+from yaii_spark.queries.executor import (  # noqa: F401
+    cache_filter,
+    execute_boolean,
+    search,
+    uncache_filter,
+)
+from yaii_spark.storage import IndexCatalog  # noqa: F401
