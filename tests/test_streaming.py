@@ -299,6 +299,65 @@ def test_index_append_sink_commits_segments(spark, stream_dir, tmp_path):
     assert scored(cat, True) == scored(ref, True)
 
 
+def test_refresh_block_bounds_after_append(spark, tmp_path):
+    """Appended segments carry bounds built under their batch-local
+    avgdl (bm25 auto-falls back to exact for them — rank-safe).
+    refresh_block_bounds recomputes the bounds in place under the
+    corpus avgdl: every avgdl_built flips to the corpus value, scores
+    stay byte-identical on both scorer paths, and posting bytes other
+    than the bounds are untouched."""
+    from yaii_spark.indexer import refresh_block_bounds
+    from yaii_spark.queries.bm25 import bm25_topk
+    from yaii_spark.storage import IndexCatalog
+    from yaii_spark.streaming import make_append_committer
+
+    idx = str(tmp_path / "refresh_idx")
+    commit = make_append_committer(
+        idx, seg_size=16, stored_cols=["url", "text", "lang", "num_attr"]
+    )
+    # batches with different token-length mixes → avgdl drifts
+    commit(gen_pages(spark, 40, include_fixtures=False, tokens_range=(8, 24)), 0)
+    commit(
+        gen_pages(spark, 80, include_fixtures=False, tokens_range=(40, 64))
+        .filter(F.col("doc_id") >= 40),
+        1,
+    )
+    cat = IndexCatalog(spark, idx)
+    stats = cat.corpus_stats()
+    built = {r.seg_id: r.avgdl_built for r in cat.seg_meta().collect()}
+    assert any(v != stats.avgdl for v in built.values())  # drift exists
+    pre = {}
+    for prune in (False, True):
+        pre[prune] = [
+            (r.doc_id, round(r.score, 9))
+            for r in bm25_topk(cat, ["url", "wcsfc"], k=20, prune=prune).collect()
+        ]
+    ids_bytes_before = {
+        (r.seg_id, r.field, r.term): bytes(r.doc_ids_bin)
+        for r in cat.postings([("text", "url")]).collect()
+    }
+    m = refresh_block_bounds(spark, idx)
+    assert m["segments_refreshed"] >= 1
+    cat2 = IndexCatalog(spark, idx)
+    assert all(
+        r.avgdl_built == stats.avgdl for r in cat2.seg_meta().collect()
+    )
+    for prune in (False, True):
+        post = [
+            (r.doc_id, round(r.score, 9))
+            for r in bm25_topk(cat2, ["url", "wcsfc"], k=20, prune=prune).collect()
+        ]
+        assert post == pre[prune], prune
+    # id/tf bytes untouched — only bounds changed
+    ids_bytes_after = {
+        (r.seg_id, r.field, r.term): bytes(r.doc_ids_bin)
+        for r in cat2.postings([("text", "url")]).collect()
+    }
+    assert ids_bytes_after == ids_bytes_before
+    # second refresh is a no-op
+    assert refresh_block_bounds(spark, idx)["segments_refreshed"] == 0
+
+
 def test_append_committer_replay_idempotent(spark, tmp_path):
     """A replayed micro-batch (same batch_id — Spark re-runs a batch
     whose foreachBatch died before the stream checkpoint advanced)

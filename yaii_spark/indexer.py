@@ -781,6 +781,79 @@ def delete_docs(spark: SparkSession, index_dir: str, doc_ids: list[int]) -> int:
     return delete_docs_df(spark, index_dir, df)
 
 
+def refresh_block_bounds(spark: SparkSession, index_dir: str) -> dict:
+    """Recompute block-max bounds for segments whose bounds were built
+    under a different corpus avgdl (streaming appends drift it; bm25
+    falls back to exact scoring for such segments). A full merge also
+    refreshes bounds — this is the cheap in-place form: only STALE
+    segments' postings partitions are rewritten (ids/tfs re-encoded to
+    identical bytes; only block_maxes/max_norm change), then their
+    seg_meta rows flip avgdl_built to the current corpus avgdl.
+
+    Crash-safe ordering: postings first, seg_meta flip second — a crash
+    in between leaves avgdl_built stale, so the scorer keeps using the
+    (always rank-safe) exact path; nothing ever trusts a bound that
+    wasn't rewritten. Scores themselves never change (bounds only gate
+    pruning). Returns {"segments_refreshed": n}.
+    """
+    from yaii_spark.storage import IndexCatalog
+
+    cat = IndexCatalog(spark, index_dir)
+    stats = cat.corpus_stats()
+    avgdl, k1, b, block = stats.avgdl, stats.k1, stats.b, stats.block_size
+    stale = [
+        int(r.seg_id)
+        for r in cat.seg_meta().filter(F.col("avgdl_built") != avgdl).collect()
+    ]
+    if not stale:
+        return {"segments_refreshed": 0}
+    stale_df = spark.createDataFrame([(s,) for s in stale], "seg_id long")
+    meta = cat.seg_meta().join(F.broadcast(stale_df), "seg_id", "left_semi")
+    post = cat.postings().join(F.broadcast(stale_df), "seg_id", "left_semi")
+
+    def rewrite(post_pdf: pd.DataFrame, meta_pdf: pd.DataFrame) -> pd.DataFrame:
+        from yaii_spark.codec import delta_decode_blocked, varint_decode
+
+        if post_pdf.empty:  # a postings-free segment (all-null texts)
+            return post_pdf
+        base = int(meta_pdf["base_doc_id"].iloc[0])
+        dls = varint_decode(meta_pdf["dl_bin"].iloc[0]).astype(np.float64)
+        bmaxes, mnorms = [], []
+        for ids_b, tfs_b in zip(post_pdf["doc_ids_bin"], post_pdf["tfs_bin"]):
+            ids = delta_decode_blocked(ids_b, block).astype(np.int64) - base
+            tfs = varint_decode(tfs_b)
+            norms = _tf_norm(tfs, dls[ids].astype(np.int64), avgdl, k1, b)
+            nblocks = math.ceil(ids.size / block)
+            bmaxes.append(
+                [float(norms[i * block : (i + 1) * block].max()) for i in range(nblocks)]
+            )
+            mnorms.append(float(norms.max()) if norms.size else 0.0)
+        out = post_pdf.copy()
+        out["block_maxes"] = bmaxes
+        out["max_norm"] = mnorms
+        return out
+
+    refreshed = (
+        post.groupBy("seg_id")
+        .cogroup(meta.select("seg_id", "base_doc_id", "dl_bin").groupBy("seg_id"))
+        .applyInPandas(rewrite, schema=_POSTINGS_SCHEMA)
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    write_table(
+        refreshed.repartition("seg_id").sortWithinPartitions("field", "term"),
+        os.path.join(index_dir, "postings"),
+        partition_by=["seg_id"],
+    )
+    # flip avgdl_built strictly AFTER the bounds are durable
+    new_meta = meta.withColumn("avgdl_built", F.lit(float(avgdl))).select(
+        "seg_id", "n_docs", "base_doc_id", "dl_bin", "avgdl_built", "deleted_bin"
+    )
+    write_table(
+        new_meta, os.path.join(index_dir, "seg_meta"), partition_by=["seg_id"]
+    )
+    return {"segments_refreshed": len(stale)}
+
+
 MERGE_SHARDS = 16  # term-hash shards per merged segment (task sizing)
 
 
