@@ -1,15 +1,19 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 Thin wrapper over yaii_spark.entrypoint — the PySpark-native
-inverted-index + BM25 engine (see SURVEY.md). All 48 queries() entries
-have a matching oracle_sql() DuckDB statement (since round 2 this
-includes q_simhash — md5-family bit-sign sums restated in SQL — and
-q_ann_lsh, whose hyperplane constants are embedded as SQL literals;
-round 3 adds q_ts_range — a timestamp-typed NumberRange through the
-events-table index — and q_bm25_pruned — the MaxScore/lazy-block path
-checked value-exact against the same SQL restatement as the exact
-path — and moves q_ann_lsh onto a materialized bucket-partitioned ANN
-table).
+inverted-index + BM25 engine (see SURVEY.md). All 52 queries() entries
+have a matching oracle_sql() DuckDB statement. Highlights by round:
+r2 q_simhash (md5-family bit-sign sums restated in SQL) and q_ann_lsh
+(hyperplane constants embedded as SQL literals); r3 q_ts_range
+(timestamp-typed NumberRange via the events-table index) and
+q_bm25_pruned (MaxScore/lazy-block path value-exact vs the same SQL as
+the exact path); r4 q_multi_source_all (_all over [text, source] —
+addToAllField), q_minhash_lsh_pairs (banded LSH candidates vs exact
+band-value equality), q_stream_dedup (the applyInPandasWithState
+stateful operator run as one availableNow batch, making a full
+relational oracle possible), and q_ann_ivf_full (full-probe IVF ==
+exact cosine top-k, so brute-force SQL oracles the whole
+train→assign→materialize→probe→rerank pipeline).
 """
 
 from __future__ import annotations
