@@ -91,8 +91,8 @@ def main() -> None:
         qs = EP.queries()
         headline = [
             "q_token", "q_and", "q_or", "q_not",
-            "q_phrase", "q_token_range",
-            "q_bm25_rare", "q_bm25_mixed", "q_bm25_and",
+            "q_phrase", "q_phrase_slop", "q_token_range",
+            "q_bm25_rare", "q_bm25_mixed", "q_bm25_and", "q_bm25_pruned",
             "q_sort_limit", "q_group_by_lang",
             "q_dedup_exact", "q_minhash_sig", "q_simhash",
             "q_cosine_topk", "q_ann_lsh", "q_quality", "q_lang_id",
