@@ -361,6 +361,17 @@ def _eval_token_tree(cat: IndexCatalog, node: A.Node) -> DataFrame:
         ["tfs_bin", "pos_bin", "block_pos_offs"] if want_pos else []
     )
     post = cat.postings(terms, scans=scans).select(*cols)
+    if want_pos and phrase_terms:
+        # a mixed query (phrase AND plain tokens) needs positions ONLY
+        # for the phrase's terms — null the position columns for every
+        # other term JVM-side so a dense boolean term's corpus-scale
+        # position stream never crosses the shuffle/Arrow boundary
+        is_phrase = None
+        for f, t in sorted(phrase_terms):
+            c = (F.col("field") == f) & (F.col("term") == t)
+            is_phrase = c if is_phrase is None else (is_phrase | c)
+        for pc in ("tfs_bin", "pos_bin", "block_pos_offs"):
+            post = post.withColumn(pc, F.when(is_phrase, F.col(pc)))
     block = cat.corpus_stats().block_size  # delta restarts per block (v4)
     # deleted_bin: local-id holes a purging merge left behind — they
     # must stay out of NOT/ALL universes (doc ids are never renumbered)
