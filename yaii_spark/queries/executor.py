@@ -118,6 +118,55 @@ class _LazyPositions:
         return flat, counts
 
 
+class _SparsePositions:
+    """_LazyPositions over a row whose position stream was SLICED to
+    the candidate blocks JVM-side before the shuffle (the selective-
+    phrase transfer path): only `blocks[i]`'s tf/pos byte slices ever
+    crossed the Arrow boundary. Candidates are guaranteed to fall in
+    shipped blocks (they are a subset of the slicer term's docs, whose
+    blocks defined the slice)."""
+
+    __slots__ = ("ids", "block", "_by_block", "_cache")
+
+    def __init__(self, ids, blocks, tf_slices, pos_slices, block):
+        self.ids = ids  # local doc ids, sorted (full decode — ids ship whole)
+        self.block = int(block)
+        self._by_block = {
+            int(b): (tf, po) for b, tf, po in zip(blocks, tf_slices, pos_slices)
+        }
+        self._cache: dict[int, tuple] = {}
+        for _, po in self._by_block.items():
+            POS_DECODE_STATS["bytes_total"] += len(po)
+        POS_DECODE_STATS["blocks_total"] += len(self._by_block)
+
+    def _decode_block(self, bx: int) -> tuple:
+        got = self._cache.get(bx)
+        if got is None:
+            from yaii_spark.codec import decode_positions_flat, varint_decode
+
+            tf_b, pos_b = self._by_block[bx]
+            tfs = varint_decode(tf_b).astype(np.int64)
+            vals, starts = decode_positions_flat(pos_b, tfs)
+            got = self._cache[bx] = (vals, starts, tfs)
+            POS_DECODE_STATS["bytes_decoded"] += len(pos_b)
+            POS_DECODE_STATS["blocks_decoded"] += 1
+        return got
+
+    def flat_for(self, cand: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        idxs = np.searchsorted(self.ids, cand)
+        bxs = idxs // self.block
+        counts = np.zeros(len(cand), dtype=np.int64)
+        pieces = []
+        for bx in np.unique(bxs):
+            vals, starts, tfs = self._decode_block(int(bx))
+            sel = np.flatnonzero(bxs == bx)
+            k = idxs[sel] - bx * self.block
+            counts[sel] = tfs[k]
+            pieces.append(_ragged_gather(vals, starts[k], tfs[k]))
+        flat = np.concatenate(pieces) if pieces else np.empty(0, dtype=np.int64)
+        return flat, counts
+
+
 class _EagerPositions:
     """Adapter giving fully-decoded (ids, per-doc position lists) the
     same surface as _LazyPositions (unit tests build these directly)."""
@@ -346,6 +395,133 @@ def _needs_universe(node: A.Node) -> bool:
     return False
 
 
+#: selective-phrase sliced-transfer gates (driver-side, from global
+#: term stats): the slicer term's df bound, and how much denser the
+#: densest phrase term must be for slicing to pay for itself
+SELECTIVE_PHRASE_MAX_DF = 1 << 16
+SELECTIVE_PHRASE_MIN_RATIO = 4
+
+
+def _phrase_slice_plan(cat: IndexCatalog, node: A.Node):
+    """Decide the sliced-transfer phrase path (driver-side, from the
+    memoized term dictionary): when a phrase contains a RARE term
+    (df ≤ SELECTIVE_PHRASE_MAX_DF) next to much denser ones, phrase
+    candidates are a subset of the rare term's docs — so the dense
+    terms' tf/position bytes only matter inside the blocks holding
+    those docs, and everything else can be dropped BEFORE the shuffle.
+    Returns (sliced_terms, {seg_id: global candidate ids}) or None.
+    The candidate collect is bounded by the df gate (≤ 65k ids — a
+    dictionary-lookup-scale driver job, never corpus-sized)."""
+    phrases = _collect_phrases(node)
+    if not phrases:
+        return None
+    stats = cat.term_stats_for(
+        sorted({(p.field_name, t) for p in phrases for t in p.terms})
+    )
+    slicers: set = set()
+    sliced_phrases = []
+    for p in phrases:
+        fts = [(p.field_name, t) for t in set(p.terms)]
+        if any(ft not in stats for ft in fts):
+            continue  # absent term — upstream pruning empties the phrase
+        dfs = {ft: stats[ft][0] for ft in fts}
+        mn = min(dfs, key=dfs.get)
+        if (
+            dfs[mn] <= SELECTIVE_PHRASE_MAX_DF
+            and max(dfs.values()) >= SELECTIVE_PHRASE_MIN_RATIO * max(dfs[mn], 1)
+        ):
+            slicers.add(mn)
+            sliced_phrases.append(p)
+    if not sliced_phrases:
+        return None
+    sliced_terms = {
+        (p.field_name, t) for p in sliced_phrases for t in p.terms
+    }
+    # a term an UNSLICED phrase also needs must keep its full stream
+    full_needed = {
+        (p.field_name, t)
+        for p in phrases
+        if p not in sliced_phrases
+        for t in p.terms
+    }
+    sliced_terms -= full_needed
+    if not sliced_terms:
+        return None
+    block = cat.corpus_stats().block_size
+    rows = cat.postings(sorted(slicers)).select("seg_id", "doc_ids_bin").collect()
+    per_seg: dict[int, list] = {}
+    for r in rows:
+        ids = delta_decode_blocked(r.doc_ids_bin, block).astype(np.int64)
+        per_seg.setdefault(int(r.seg_id), []).append(ids)
+    cand = {s: np.unique(np.concatenate(v)) for s, v in per_seg.items()}
+    return sliced_terms, cand
+
+
+def _apply_phrase_slicing(post: DataFrame, spark, slice_plan) -> DataFrame:
+    """JVM-side per-block byte slicing for the sliced-transfer path:
+    a tiny vectorized UDF maps each row's block_first_ids against the
+    segment's candidate ids (searchsorted — the interpreted HOF form
+    measured ~1 s/row and lost), then Catalyst substr() carves the
+    tf/pos byte ranges of exactly those blocks. Sliced rows null their
+    full streams; everything else is untouched."""
+    sliced_terms, cand_map = slice_plan
+    cand_df = spark.createDataFrame(
+        [(int(s), [int(x) for x in ids]) for s, ids in cand_map.items()]
+        or [(int(-1), [])],
+        "seg_id long, _cand array<long>",
+    )
+    cond = None
+    for f, t in sorted(sliced_terms):
+        c = (F.col("field") == f) & (F.col("term") == t)
+        cond = c if cond is None else (cond | c)
+
+    @F.pandas_udf("array<int>")
+    def nb_udf(fids: pd.Series, cands: pd.Series) -> pd.Series:
+        out = []
+        for fid, c in zip(fids, cands):
+            if fid is None or c is None or len(c) == 0:
+                out.append([])
+                continue
+            fa = np.asarray(fid, dtype=np.int64)
+            ca = np.asarray(c, dtype=np.int64)
+            bx = np.searchsorted(fa, ca, side="right") - 1
+            out.append([int(x) for x in np.unique(bx[bx >= 0])])
+        return pd.Series(out, index=fids.index, dtype=object)
+
+    def _slice(bin_col, offs_col):
+        # try_element_at: the last block's upper bound falls off the
+        # offsets array (→ NULL → stream end); plain element_at throws
+        # under Spark 4's ANSI default
+        return F.transform(
+            F.col("_nb"),
+            lambda b: bin_col.substr(
+                F.element_at(offs_col, b + 1) + 1,
+                F.coalesce(
+                    F.try_element_at(offs_col, b + 2), F.octet_length(bin_col)
+                )
+                - F.element_at(offs_col, b + 1),
+            ),
+        )
+
+    return (
+        post.join(F.broadcast(cand_df), "seg_id", "left")
+        .withColumn(
+            "_nb",
+            F.when(cond, nb_udf(F.col("block_first_ids"), F.col("_cand"))),
+        )
+        .withColumn(
+            "_tf_sl", F.when(cond, _slice(F.col("tfs_bin"), F.col("block_tf_offs")))
+        )
+        .withColumn(
+            "_pos_sl", F.when(cond, _slice(F.col("pos_bin"), F.col("block_pos_offs")))
+        )
+        .withColumn("tfs_bin", F.when(~cond, F.col("tfs_bin")))
+        .withColumn("pos_bin", F.when(~cond, F.col("pos_bin")))
+        .withColumn("block_pos_offs", F.when(~cond, F.col("block_pos_offs")))
+        .drop("_cand", "block_first_ids", "block_tf_offs")
+    )
+
+
 def _eval_token_tree(cat: IndexCatalog, node: A.Node) -> DataFrame:
     """Evaluate a token-only subtree → DataFrame[doc_id]."""
     spark = cat.spark
@@ -357,8 +533,13 @@ def _eval_token_tree(cat: IndexCatalog, node: A.Node) -> DataFrame:
         for n in _collect_phrases(node)
         for t in n.terms
     }
-    cols = ["seg_id", "field", "term", "doc_ids_bin"] + (
-        ["tfs_bin", "pos_bin", "block_pos_offs"] if want_pos else []
+    slice_plan = (
+        _phrase_slice_plan(cat, node) if (want_pos and phrase_terms) else None
+    )
+    cols = (
+        ["seg_id", "field", "term", "doc_ids_bin"]
+        + (["tfs_bin", "pos_bin", "block_pos_offs"] if want_pos else [])
+        + (["block_first_ids", "block_tf_offs"] if slice_plan else [])
     )
     post = cat.postings(terms, scans=scans).select(*cols)
     if want_pos and phrase_terms:
@@ -372,6 +553,8 @@ def _eval_token_tree(cat: IndexCatalog, node: A.Node) -> DataFrame:
             is_phrase = c if is_phrase is None else (is_phrase | c)
         for pc in ("tfs_bin", "pos_bin", "block_pos_offs"):
             post = post.withColumn(pc, F.when(is_phrase, F.col(pc)))
+    if slice_plan is not None:
+        post = _apply_phrase_slicing(post, spark, slice_plan)
     block = cat.corpus_stats().block_size  # delta restarts per block (v4)
     # deleted_bin: local-id holes a purging merge left behind — they
     # must stay out of NOT/ALL universes (doc ids are never renumbered)
@@ -398,11 +581,20 @@ def _eval_token_tree(cat: IndexCatalog, node: A.Node) -> DataFrame:
         pos_map = None
         if want_pos:
             pos_map = {}
-            for f, t, ib, tb, pb, po in zip(
+            n_rows = len(pdf)
+            nbs = pdf["_nb"] if "_nb" in pdf.columns else pd.Series([None] * n_rows)
+            tf_sl = pdf["_tf_sl"] if "_tf_sl" in pdf.columns else nbs
+            pos_sl = pdf["_pos_sl"] if "_pos_sl" in pdf.columns else nbs
+            for f, t, ib, tb, pb, po, nb, tsl, psl in zip(
                 pdf["field"], pdf["term"], pdf["doc_ids_bin"], pdf["tfs_bin"],
-                pdf["pos_bin"], pdf["block_pos_offs"],
+                pdf["pos_bin"], pdf["block_pos_offs"], nbs, tf_sl, pos_sl,
             ):
                 if t is None or ib is None or (f, t) not in phrase_terms:
+                    continue
+                if nb is not None:  # sliced-transfer row (selective phrase)
+                    pos_map[(f, t)] = _SparsePositions(
+                        postings[(f, t)], nb, tsl, psl, block
+                    )
                     continue
                 tfs = varint_decode(tb).astype(np.int64)
                 pos_map[(f, t)] = _LazyPositions(
