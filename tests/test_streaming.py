@@ -398,6 +398,120 @@ def test_append_committer_replay_idempotent(spark, tmp_path):
     assert index_size(cat) == 50
 
 
+def _ts_rows(spark, idx):
+    from yaii_spark.storage import read_table
+
+    return sorted(
+        (int(r.bucket), r.field, r.term, int(r.df), int(r.cf))
+        for r in read_table(spark, f"{idx}/term_stats").collect()
+    )
+
+
+_FOLD_STORED = ["url", "text", "lang", "num_attr"]
+
+
+def _full_rebuild_rows(spark, tmp_path, batches, name):
+    """term_stats of a one-shot fresh build over the batches' union —
+    the fold's equivalence oracle."""
+    from yaii_spark.indexer import build_index
+
+    full = batches[0]
+    for b in batches[1:]:
+        full = full.unionByName(b)
+    out = str(tmp_path / name)
+    build_index(
+        spark, full, out, seg_size=16, stored_cols=_FOLD_STORED, resume=False
+    )
+    return _ts_rows(spark, out)
+
+
+def test_incremental_term_stats_fold_matches_full(spark, tmp_path, monkeypatch):
+    """Appending a micro-batch folds ONLY the new segments' aggregates
+    into the bucketed dictionary (indexer._fold_term_stats) — per-batch
+    cost O(batch), not O(index) (VERDICT r4 #1) — and the folded rows
+    are value-identical to a full recompute over the union. The full
+    path is monkeypatch-poisoned for the second batch, so the test
+    FAILS if the fold silently falls back to the O(index) recompute;
+    a replayed batch folds nothing (ledger already covers its range)."""
+    import yaii_spark.indexer as IX
+    from yaii_spark.storage import fs_exists, read_table
+    from yaii_spark.streaming import make_append_committer
+
+    idx = str(tmp_path / "fold_idx")
+    commit = make_append_committer(idx, seg_size=16, stored_cols=_FOLD_STORED)
+    b1 = gen_pages(spark, 60, include_fixtures=True)
+    b2 = gen_pages(spark, 100, include_fixtures=False).filter(F.col("doc_id") >= 60)
+    commit(b1, 0)  # base build: full recompute + ledger bootstrap
+    assert fs_exists(spark, f"{idx}/stats_ledger")
+
+    def _boom(*a, **k):
+        raise AssertionError("append must fold, not full-recompute")
+
+    monkeypatch.setattr(IX, "_write_term_stats_full", _boom)
+    commit(b2, 1)  # incremental fold
+    monkeypatch.undo()
+
+    # ledger covers every durable segment exactly once
+    n_segs = read_table(spark, f"{idx}/seg_meta").select("seg_id").distinct().count()
+    led = read_table(spark, f"{idx}/stats_ledger")
+    assert led.count() == led.distinct().count() == n_segs
+    # no torn-fold marker, no leftover staging dir
+    assert not fs_exists(spark, f"{idx}/stats_folding")
+    assert not fs_exists(spark, f"{idx}/term_stats_delta_tmp")
+
+    folded = _ts_rows(spark, idx)
+    assert folded == _full_rebuild_rows(spark, tmp_path, [b1, b2], "fold_full")
+
+    # replay of batch 1: everything already folded → dictionary unchanged
+    monkeypatch.setattr(IX, "_write_term_stats_full", _boom)
+    commit(b2, 1)
+    monkeypatch.undo()
+    assert _ts_rows(spark, idx) == folded
+
+
+def test_torn_fold_recovers_with_full_recompute(spark, tmp_path):
+    """A crash between the fold's bucket overwrite and its ledger append
+    leaves the stats_folding marker; the next append must detect it and
+    recover via the full recompute (correct counts, marker cleared)."""
+    from yaii_spark.storage import fs_exists, fs_touch
+    from yaii_spark.streaming import make_append_committer
+
+    idx = str(tmp_path / "torn_idx")
+    commit = make_append_committer(idx, seg_size=16, stored_cols=_FOLD_STORED)
+    b1 = gen_pages(spark, 40, include_fixtures=True)
+    b2 = gen_pages(spark, 70, include_fixtures=False).filter(F.col("doc_id") >= 40)
+    commit(b1, 0)
+    fs_touch(spark, f"{idx}/stats_folding")  # simulate the torn fold
+    commit(b2, 1)
+    assert not fs_exists(spark, f"{idx}/stats_folding")
+    assert _ts_rows(spark, idx) == _full_rebuild_rows(
+        spark, tmp_path, [b1, b2], "torn_full"
+    )
+
+
+def test_fold_self_heals_unfolded_segments(spark, tmp_path, monkeypatch):
+    """Segments whose postings committed but whose stats fold never ran
+    (crash after the postings write) are picked up by the NEXT batch's
+    fold — `unfolded` is ledger-complement, not batch-scoped."""
+    import yaii_spark.indexer as IX
+    from yaii_spark.streaming import make_append_committer
+
+    idx = str(tmp_path / "heal_idx")
+    commit = make_append_committer(idx, seg_size=16, stored_cols=_FOLD_STORED)
+    b1 = gen_pages(spark, 40, include_fixtures=True)
+    b2 = gen_pages(spark, 70, include_fixtures=False).filter(F.col("doc_id") >= 40)
+    b3 = gen_pages(spark, 100, include_fixtures=False).filter(F.col("doc_id") >= 70)
+    commit(b1, 0)
+    # batch 1's fold "crashes" before running: postings durable, stats not
+    monkeypatch.setattr(IX, "_fold_term_stats", lambda *a, **k: None)
+    commit(b2, 1)
+    monkeypatch.undo()
+    commit(b3, 2)  # must fold batch 1's AND batch 2's segments
+    assert _ts_rows(spark, idx) == _full_rebuild_rows(
+        spark, tmp_path, [b1, b2, b3], "heal_full"
+    )
+
+
 def test_future_mode_phrase(spark, stream_dir):
     """A FUTURE continuous query with a phrase leaf (the round-2 gap:
     compile_predicate used to raise on Phrase)."""

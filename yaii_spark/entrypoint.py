@@ -66,12 +66,15 @@ _CATALOGS: dict[str, tuple[IndexCatalog, int | None]] = {}
 def _marker_mtime(spark: SparkSession, out: str) -> int | None:
     from yaii_spark.storage import fs_mtime, iceberg_format
 
-    marker = (
-        os.path.join(out, "corpus_stats")
-        if iceberg_format(spark)
-        else os.path.join(out, "corpus_stats", "_SUCCESS")
-    )
-    return fs_mtime(spark, marker)
+    if iceberg_format(spark):
+        # an Iceberg commit adds files under metadata/ WITHOUT touching
+        # the table root dir's mtime (ADVICE r4: the eviction would
+        # silently never fire) — probe the per-commit version hint
+        # file, falling back to the root for non-HadoopTable layouts
+        cs = os.path.join(out, "corpus_stats")
+        hint = fs_mtime(spark, os.path.join(cs, "metadata", "version-hint.text"))
+        return hint if hint is not None else fs_mtime(spark, cs)
+    return fs_mtime(spark, os.path.join(out, "corpus_stats", "_SUCCESS"))
 
 
 def _catalog(spark: SparkSession, out: str) -> IndexCatalog:
@@ -81,6 +84,16 @@ def _catalog(spark: SparkSession, out: str) -> IndexCatalog:
         cat, seen = ent
         if cat.spark is spark and seen == mt:
             return cat
+        # evicting a stale catalog must release its persisted filter
+        # DataFrames too — uncache_filter can no longer reach them once
+        # the memo is replaced, so they'd pin block-manager memory for
+        # the session lifetime (ADVICE r4)
+        from yaii_spark.queries.executor import uncache_filter
+
+        try:
+            uncache_filter(cat)
+        except Exception:
+            pass  # the old catalog's session may already be stopped
     cat = IndexCatalog(spark, out)
     _CATALOGS[out] = (cat, mt)
     return cat

@@ -72,7 +72,13 @@ from yaii_spark.codec import (
     varint_encode,
     varint_encode_blocked,
 )
-from yaii_spark.storage import fs_delete, fs_exists, read_table, write_table
+from yaii_spark.storage import (
+    fs_delete,
+    fs_exists,
+    fs_touch,
+    read_table,
+    write_table,
+)
 
 DEFAULT_K1 = 1.2  # Lucene/ES defaults — yaii's stated design base
 DEFAULT_B = 0.75
@@ -295,12 +301,22 @@ def assign_dense_ids(
     parallelism, never by data), cumulative offsets broadcast back, and
     each row gets offset + within-partition rank. This is the standard
     scalable dense-id assignment (a global row_number() would funnel
-    the whole batch through one task). Deterministic given the input's
-    partition layout (stable for file-backed batches)."""
+    the whole batch through one task).
+
+    The two passes (counts collect, then the id-assignment join) MUST
+    see the same row→partition mapping, so `parts` is persisted before
+    the counts job (ADVICE r4: an AQE-coalesced shuffle or a
+    nondeterministic source re-evaluated between the jobs would remap
+    rows silently). A partition id that still appears without an offset
+    (cache-evicted + remapped recompute) fails LOUDLY via raise_error
+    instead of being dropped by a join. The cached blocks are released
+    by Spark's ContextCleaner when the returned lineage is dropped;
+    callers doing many batches (the streaming sink) hold each result
+    only for the batch's duration."""
     from pyspark.sql import Window
 
     spark = df.sparkSession
-    parts = df.withColumn("_pid", F.spark_partition_id())
+    parts = df.withColumn("_pid", F.spark_partition_id()).persist()
     counts = {
         r._pid: r.c
         for r in parts.groupBy("_pid").agg(F.count("*").alias("c")).collect()
@@ -312,11 +328,150 @@ def assign_dense_ids(
         acc += int(counts[pid])
     off_df = spark.createDataFrame(offs or [(0, int(start))], "_pid int, _off long")
     w = Window.partitionBy("_pid").orderBy(F.monotonically_increasing_id())
+    assigned = F.col("_off") + F.row_number().over(w) - F.lit(1)
     return (
-        parts.join(F.broadcast(off_df), "_pid")
-        .withColumn(id_col, F.col("_off") + F.row_number().over(w) - F.lit(1))
+        parts.join(F.broadcast(off_df), "_pid", "left")
+        .withColumn(
+            id_col,
+            F.when(F.col("_off").isNotNull(), assigned).otherwise(
+                F.raise_error(
+                    F.lit(
+                        "assign_dense_ids: row→partition mapping changed "
+                        "between the counts job and the id assignment "
+                        "(nondeterministic input recomputed?) — ids would "
+                        "be dropped/duplicated"
+                    )
+                )
+            ),
+        )
         .drop("_pid", "_off")
     )
+
+
+def _scoped_postings(spark: SparkSession, out_dir: str, segs: list[int]) -> DataFrame:
+    """Postings restricted to `segs`: an In-list filter on the seg_id
+    partition column (static partition pruning — only those segments'
+    directories are ever listed/read) when the list is small, a
+    broadcast semi-join for very large lists (a 10^6-element In-list
+    would bloat the plan). seg_id is cast to long (partition inference
+    reads it back as int)."""
+    df = read_table(spark, os.path.join(out_dir, "postings")).withColumn(
+        "seg_id", F.col("seg_id").cast("long")
+    )
+    if len(segs) <= 4096:
+        return df.filter(F.col("seg_id").isin([int(s) for s in segs]))
+    seg_df = spark.createDataFrame([(int(s),) for s in segs], "seg_id long")
+    return df.join(F.broadcast(seg_df), "seg_id", "left_semi")
+
+
+def _write_term_stats_full(spark: SparkSession, out_dir: str, post_all: DataFrame) -> None:
+    """Full term_stats recompute from ALL durable postings + stats_ledger
+    rewrite — the base-build path and the torn-fold recovery path.
+
+    Hash-bucketed by (field, term): a web-scale dictionary is 10^8-10^9
+    rows — a single sorted file would be one straggler task and an
+    unprunable lookup. 256 bucket dirs + in-bucket term sort give
+    partition-pruned, row-group-pruned point lookups (storage.
+    term_stats_for computes the same md5 bucket driver-side).
+
+    The stats_folding marker brackets the (term_stats write → ledger
+    rewrite) pair: a crash in between leaves the marker, and the next
+    build repeats this full path instead of double-folding."""
+    from yaii_spark.storage import term_stats_bucket_col
+
+    ts_df = (
+        post_all.groupBy("field", "term")
+        .agg(F.sum("df_local").alias("df"), F.sum("cf_local").alias("cf"))
+        .withColumn("bucket", term_stats_bucket_col())
+        # task count follows spark.sql.shuffle.partitions (several
+        # buckets per task is fine — pruning is by directory); leading
+        # the in-task sort with `bucket` satisfies the partitioned
+        # writer's required ordering, so no writer-side re-sort destroys
+        # the (field, term) row-group order
+        .repartition("bucket")
+        .sortWithinPartitions("bucket", "field", "term")
+    )
+    marker = os.path.join(out_dir, "stats_folding")
+    fs_touch(spark, marker)
+    write_table(ts_df, os.path.join(out_dir, "term_stats"), partition_by=["bucket"])
+    # ledger = every segment whose postings the dictionary now covers
+    # (postings are the source of truth under resume)
+    write_table(
+        post_all.select(F.col("seg_id").cast("long")).distinct(),
+        os.path.join(out_dir, "stats_ledger"),
+    )
+    fs_delete(spark, marker)
+
+
+def _fold_term_stats(spark: SparkSession, out_dir: str, new_segs: list[int]) -> None:
+    """Incrementally fold NEW segments' postings into the
+    bucket-partitioned term_stats dictionary (VERDICT r4 #1: the
+    full-recompute-per-micro-batch was the last superlinear ingest cost
+    — each small append paid a full-postings shuffle, O(whole index)).
+
+    Per-batch cost is O(batch postings) + O(touched dictionary buckets):
+    1. aggregate ONLY `new_segs`' postings (partition-pruned read),
+    2. read back just the touched buckets of the existing dictionary,
+       merge (sum is associative, so the result is value-identical to a
+       full recompute), stage to `term_stats_delta_tmp` — Spark cannot
+       overwrite a path that feeds the same job, and the durable stage
+       makes the overwrite restartable,
+    3. dynamic-partition-overwrite the touched bucket dirs only
+       (Iceberg: replacePartitions through the same write seam),
+    4. append `new_segs` to stats_ledger.
+    The stats_folding marker brackets steps 3-4; a crash in between is
+    detected by the next build, which recovers with a full recompute
+    (build_index's `use_fold` gate).
+
+    Stats-lag note: after a purging merge, term_stats deliberately lags
+    the expunged postings (merge_segments carries it unchanged so scores
+    stay byte-identical). The fold PRESERVES that lag — it only adds the
+    new segments' counts — whereas a full recompute would refresh it.
+    On a purge-free index the two paths are value-identical."""
+    from yaii_spark.storage import term_stats_bucket_col
+
+    ts_path = os.path.join(out_dir, "term_stats")
+    tmp_path = os.path.join(out_dir, "term_stats_delta_tmp")
+    marker = os.path.join(out_dir, "stats_folding")
+
+    delta = (
+        _scoped_postings(spark, out_dir, new_segs)
+        .groupBy("field", "term")
+        .agg(F.sum("df_local").alias("df"), F.sum("cf_local").alias("cf"))
+        .withColumn("bucket", term_stats_bucket_col())
+    )
+    merged = (
+        read_table(spark, ts_path)
+        .join(delta.select("bucket").distinct(), "bucket", "left_semi")
+        .select("field", "term", "df", "cf", "bucket")
+        .unionByName(delta.select("field", "term", "df", "cf", "bucket"))
+        .groupBy("bucket", "field", "term")
+        .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+        .select("field", "term", "df", "cf", "bucket")
+    )
+    write_table(merged, tmp_path)
+
+    fs_touch(spark, marker)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        write_table(
+            read_table(spark, tmp_path)
+            .repartition("bucket")
+            .sortWithinPartitions("bucket", "field", "term"),
+            ts_path,
+            partition_by=["bucket"],
+        )
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    write_table(
+        spark.createDataFrame([(int(s),) for s in new_segs], "seg_id long"),
+        os.path.join(out_dir, "stats_ledger"),
+        mode="append",
+    )
+    fs_delete(spark, marker)
+    fs_delete(spark, tmp_path)
 
 
 def build_index(
@@ -461,19 +616,30 @@ def build_index(
     avgdl = float(stats_row["avgdl"])
     all_segs = sorted(stats_row["segs"])
 
-    # ---- resume: skip segments already checkpointed ----
+    # ---- resume: skip segments already checkpointed. pending is
+    # computed as an ANTI-JOIN against the done checkpoints and only the
+    # (bounded: ⊆ this batch's segments) pending list is collected — the
+    # done set accumulates over every batch ever appended (~10^6 rows at
+    # the design point) and must never be driver-materialized
+    # (VERDICT r4 #3) ----
     ckpt_path = os.path.join(out_dir, "checkpoints")
-    done: set[int] = set()
+    pending = list(all_segs)
     if resume and fs_exists(spark, ckpt_path):
         try:
-            done = {
-                r.seg_id
-                for r in read_table(spark, ckpt_path).filter("status = 'done'").collect()
-            }
+            seg_df = spark.createDataFrame(
+                [(int(s),) for s in all_segs], "seg_id long"
+            )
+            done_df = (
+                read_table(spark, ckpt_path)
+                .filter("status = 'done'")
+                .select(F.col("seg_id").cast("long").alias("seg_id"))
+            )
+            pending = sorted(
+                r.seg_id for r in seg_df.join(done_df, "seg_id", "left_anti").collect()
+            )
         except Exception:
-            done = set()
-
-    pending = [s for s in all_segs if s not in done]
+            pending = list(all_segs)
+    n_skipped = len(all_segs) - len(pending)
     if max_segments is not None:
         pending = pending[:max_segments]
 
@@ -481,7 +647,7 @@ def build_index(
         "n_docs_total": n_total,
         "avgdl": avgdl,
         "segments_total": len(all_segs),
-        "segments_skipped": len(done),
+        "segments_skipped": n_skipped,
         "segments_built": len(pending),
     }
 
@@ -630,16 +796,23 @@ def build_index(
                 f.result()
 
         # ---- checkpoints / lineage (after postings are durable) ----
-        # one cached read of the durable postings feeds both the
-        # per-segment lineage counts and the corpus-wide term stats;
-        # lineage rows are written distributed (no per-segment collect —
+        # the lineage counts read ONLY the batch's segments' postings:
+        # partition-pruned in append mode (the sink's per-batch hot
+        # path must never rescan the whole index), the full cached read
+        # in batch mode where the term-stats recompute needs it anyway.
+        # Lineage rows are written distributed (no per-segment collect —
         # at 10^6 segments the driver never materializes the counts)
-        post_all = read_table(spark, os.path.join(out_dir, "postings")).cache()
+        if append:
+            post_scope = _scoped_postings(spark, out_dir, pending).cache()
+            seg_counts_src = post_scope
+        else:
+            post_scope = read_table(spark, os.path.join(out_dir, "postings")).cache()
+            seg_counts_src = post_scope.join(
+                F.broadcast(pend_df), "seg_id", "left_semi"
+            )
         wall = time.time() - t0
-        seg_counts = (
-            post_all.join(F.broadcast(pend_df), "seg_id", "left_semi")
-            .groupBy("seg_id")
-            .agg(F.sum("df_local").alias("n_postings_docs"), F.count("*").alias("n_terms"))
+        seg_counts = seg_counts_src.groupBy("seg_id").agg(
+            F.sum("df_local").alias("n_postings_docs"), F.count("*").alias("n_terms")
         )
         ck = (
             pend_df.join(seg_counts, "seg_id", "left")
@@ -653,30 +826,52 @@ def build_index(
         ck_mode = "append" if (resume and fs_exists(spark, ckpt_path)) else "overwrite"
     else:
         ck = None
-        post_all = read_table(spark, os.path.join(out_dir, "postings"))
+        post_scope = None
 
-    # ---- corpus-wide term stats (recomputed from durable postings —
-    # correct under resume because postings are the source of truth).
-    # Hash-bucketed by (field, term): a web-scale dictionary is 10^8-10^9
-    # rows — a single sorted file would be one straggler task and an
-    # unprunable lookup. 256 bucket dirs + in-bucket term sort give
-    # partition-pruned, row-group-pruned point lookups (storage.
-    # term_stats_for computes the same md5 bucket driver-side). ----
-    from yaii_spark.storage import term_stats_bucket_col
-
-    ts_df = (
-        post_all.groupBy("field", "term")
-        .agg(F.sum("df_local").alias("df"), F.sum("cf_local").alias("cf"))
-        .withColumn("bucket", term_stats_bucket_col())
-        # task count follows spark.sql.shuffle.partitions (several
-        # buckets per task is fine — pruning is by directory); leading
-        # the in-task sort with `bucket` satisfies the partitioned
-        # writer's required ordering, so no writer-side re-sort destroys
-        # the (field, term) row-group order
-        .repartition("bucket")
-        .sortWithinPartitions("bucket", "field", "term")
-    )
+    # ---- corpus-wide term stats. Append mode folds ONLY the new
+    # segments' aggregates into the bucket-partitioned dictionary
+    # (_fold_term_stats — O(batch) per micro-batch, not O(index));
+    # batch mode (and fold-recovery: torn-fold marker present, or a
+    # pre-ledger index) recomputes from ALL durable postings
+    # (_write_term_stats_full — correct under resume because postings
+    # are the source of truth). `unfolded` is every durable segment the
+    # ledger doesn't cover yet — normally exactly this batch's pending
+    # list, but a crash between a previous batch's postings commit and
+    # its fold self-heals here. ----
     from yaii_spark.storage import FORMAT_VERSION
+
+    marker_path = os.path.join(out_dir, "stats_folding")
+    ledger_path = os.path.join(out_dir, "stats_ledger")
+    use_fold = (
+        append
+        and not fs_exists(spark, marker_path)
+        and fs_exists(spark, ledger_path)
+    )
+    unfolded: list[int] = []
+    if use_fold:
+        folded = read_table(spark, ledger_path).select(
+            F.col("seg_id").cast("long").alias("seg_id")
+        )
+        seg_ids = (
+            read_table(spark, os.path.join(out_dir, "seg_meta"))
+            .select(F.col("seg_id").cast("long").alias("seg_id"))
+            .distinct()
+        )
+        unfolded = sorted(
+            r.seg_id for r in seg_ids.join(folded, "seg_id", "left_anti").collect()
+        )
+
+    def _ts_task():
+        if use_fold:
+            if unfolded:
+                _fold_term_stats(spark, out_dir, unfolded)
+            return
+        post_all = (
+            post_scope
+            if (post_scope is not None and not append)
+            else read_table(spark, os.path.join(out_dir, "postings"))
+        )
+        _write_term_stats_full(spark, out_dir, post_all)
 
     if append:
         # corpus stats over the durable UNION of every appended batch:
@@ -712,29 +907,25 @@ def build_index(
         "n_docs long, avgdl double, k1 double, b double, seg_size long, "
         "block_size long, format_version long",
     )
-    # lineage (ck) and term_stats are independent (they share the cached
-    # post_all; concurrent computes of the same cached blocks are
-    # block-manager-serialized) — overlap them. corpus_stats is the
-    # index-completeness COMMIT MARKER (IndexCatalog.exists checks it),
-    # so it is written strictly AFTER both futures resolve: a failed
-    # term_stats/lineage write must never leave an index that reports
-    # complete (readers would silently prune every term to empty).
+    # lineage (ck) and term_stats are independent (in batch mode they
+    # share the cached post_scope; concurrent computes of the same
+    # cached blocks are block-manager-serialized) — overlap them.
+    # corpus_stats is the index-completeness COMMIT MARKER
+    # (IndexCatalog.exists checks it), so it is written strictly AFTER
+    # both futures resolve: a failed term_stats/lineage write must never
+    # leave an index that reports complete (readers would silently prune
+    # every term to empty).
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=2) as pool:
-        futs = [
-            pool.submit(
-                write_table, ts_df, os.path.join(out_dir, "term_stats"),
-                partition_by=["bucket"],
-            ),
-        ]
+        futs = [pool.submit(_ts_task)]
         if ck is not None:
             futs.append(pool.submit(write_table, ck, ckpt_path, mode=ck_mode))
         for f in futs:
             f.result()
     write_table(cs_df, os.path.join(out_dir, "corpus_stats"))
-    if pending:
-        post_all.unpersist()
+    if post_scope is not None:
+        post_scope.unpersist()
 
     docs.unpersist()
     metrics["wall_sec"] = time.time() - t0
@@ -1122,6 +1313,15 @@ def merge_segments(
         .sortWithinPartitions("bucket", "field", "term"),
         os.path.join(out_dir, "term_stats"),
         partition_by=["bucket"],
+    )
+    # stats_ledger: the carried dictionary covers every merged segment,
+    # so the first post-merge append folds incrementally instead of
+    # falling back to a full recompute (_fold_term_stats)
+    write_table(
+        read_table(spark, os.path.join(out_dir, "seg_meta"))
+        .select(F.col("seg_id").cast("long"))
+        .distinct(),
+        os.path.join(out_dir, "stats_ledger"),
     )
     post_new = read_table(spark, os.path.join(out_dir, "postings"))
     ck = post_new.groupBy("seg_id").agg(

@@ -98,6 +98,16 @@ def fs_mtime(spark: SparkSession, path: str) -> int | None:
         return None
 
 
+def fs_touch(spark: SparkSession, path: str) -> None:
+    """Create (or truncate) an empty marker file via the Hadoop
+    FileSystem API — the torn-write sentinel the incremental term_stats
+    fold sets around its partition overwrite (indexer._fold_term_stats):
+    a crash between the overwrite and the ledger append leaves the
+    marker behind, and the next build recovers with a full recompute."""
+    fs, p = _hadoop_fs(spark, path)
+    fs.create(p, True).close()
+
+
 def fs_delete(spark: SparkSession, path: str) -> bool:
     """Recursive delete through the Hadoop FileSystem API (the
     direct-path analogue of an Iceberg REPLACE TABLE drop; shutil.rmtree

@@ -251,8 +251,10 @@ def index_append_sink(
     the re-run idempotent. Without the ledger a replay would derive a
     NEW range past the failed attempt's partial segments and index the
     same docs twice. Corpus stats are recomputed from durable state
-    after each commit (idempotent); term_stats always re-aggregates
-    ALL on-disk postings.
+    after each commit (idempotent); term_stats folds ONLY the batch's
+    new segments into the bucketed dictionary
+    (indexer._fold_term_stats — per-batch cost stays O(batch), never
+    O(whole index); the stats_ledger makes replayed batches fold-once).
 
     Returns the started StreamingQuery (caller stops it)."""
     src = spark.readStream.schema(schema).parquet(stream_dir)
