@@ -14,6 +14,12 @@ stateful operator run as one availableNow batch, making a full
 relational oracle possible), and q_ann_ivf_full (full-probe IVF ==
 exact cosine top-k, so brute-force SQL oracles the whole
 train→assign→materialize→probe→rerank pipeline).
+
+The driver's recorded-correctness artifact caps at 50 queries per
+round; queries() is head-rotated each round (entrypoint.queries
+docstring) so every registered entry lands in a recorded artifact —
+r5 leads with q_events_by_type / q_events_windowed, the two entries
+CORRECTNESS_r04.json missed.
 """
 
 from __future__ import annotations

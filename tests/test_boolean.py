@@ -65,6 +65,32 @@ def test_reference_query_set(bool_index, query, expected):
     assert ids(execute_boolean(bool_index, query)) == expected
 
 
+def test_boolean_token_values(spark, work_dir):
+    """TokenValue = string | boolean (query-ir.ts:37-38): the reference
+    folds booleans into the dictionary as sentinel terms "A"/"B";
+    token(True, field) here maps onto the typed-column attribute
+    predicate (the stance that retired the numeric trie), matching the
+    same docs with no dictionary entry, and composes with the boolean
+    algebra like any leaf."""
+    from pyspark.sql import functions as F
+
+    out = f"{work_dir}/bool_token_idx"
+    pages = gen_boolean_pages(spark).withColumn(
+        "flagged", F.col("doc_id") % 2 == 0
+    )
+    build_index(spark, pages, out, seg_size=3)
+    cat = IndexCatalog(spark, out)
+    assert isinstance(A.token(True, "flagged"), A.NumberEq)
+    assert ids(execute_boolean(cat, A.token(True, "flagged"))) == {12, 14}
+    assert ids(execute_boolean(cat, A.token(False, "flagged"))) == {13, 15}
+    assert ids(
+        execute_boolean(cat, A.and_(A.token("abc"), A.token(True, "flagged")))
+    ) == {12, 14}
+    assert ids(
+        execute_boolean(cat, A.not_(A.token(True, "flagged")))
+    ) == {13, 15}
+
+
 def test_sorted_limit(bool_index):
     # test-index.ts:263-277 — ALL sorted by id ASC limit 2 / DESC
     rows = search(bool_index, A.all_docs(), sort=[("doc_id", "asc")], limit=2).collect()

@@ -118,7 +118,11 @@ def test_merge_preserves_results(spark, work_dir):
     dst = f"{work_dir}/postmerge_idx"
     pages = gen_pages(spark, 500, include_fixtures=True)
     build_index(spark, pages, src, seg_size=64)  # 8 segments
-    m = merge_segments(spark, src, dst, factor=4)  # → 2 segments
+    # 2 segments < local[*] parallelism: the over-compaction guard must
+    # fire (VERDICT r4 #6 — phrase/BM25 stages parallelize by segment,
+    # so merging below the core count caps their task count)
+    with pytest.warns(RuntimeWarning, match="caps their task count"):
+        m = merge_segments(spark, src, dst, factor=4)  # → 2 segments
     assert m["segments_after"] == 2
     a, b = IndexCatalog(spark, src), IndexCatalog(spark, dst)
     assert b.corpus_stats().seg_size == 256

@@ -514,6 +514,31 @@ def test_connected_components(spark):
     assert all(got[i] == i for i in range(30) if i not in {2, 3, 20})
 
 
+def test_connected_components_no_separate_count_action(spark, monkeypatch):
+    """The fixpoint check rides the aggregate that materializes the
+    round's (lazy) localCheckpoint (VERDICT r4 #4) — the per-round
+    `jumped ⋈ labels → filter → count()` action is gone. Raw Spark
+    job counts are not a stable metric under AQE (every query-stage
+    materialization is its own job), so this asserts the behavior
+    directly: DataFrame.count is poisoned for the duration and the
+    algorithm must still converge to the union-find answer."""
+    from pyspark.sql import DataFrame
+
+    from yaii_spark.ops.dedup import connected_components
+
+    def _no_count(self):
+        raise AssertionError(
+            "connected_components must not run a separate count() job"
+        )
+
+    monkeypatch.setattr(DataFrame, "count", _no_count)
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "id_a long, id_b long"
+    )
+    res = {r.node: r.cluster for r in connected_components(edges).collect()}
+    assert res == {i: 0 for i in range(65)}
+
+
 def test_streaming_dedup_cross_batch(spark, tmp_path):
     """applyInPandasWithState exact dedup: an in-batch duplicate picks
     the min-id survivor; a duplicate arriving in a LATER micro-batch of
@@ -555,5 +580,131 @@ def test_streaming_dedup_cross_batch(spark, tmp_path):
         q.processAllAvailable()
         got2 = {r.keep_id for r in spark.sql("SELECT keep_id FROM dedup_sink").collect()}
         assert got2 == {1, 3, 5}
+    finally:
+        q.stop()
+
+
+class _FakeGroupState:
+    """Minimal GroupState double for unit-testing the TTL state machine
+    (the real one is wall-clock-driven — see make_dedup_state_fn)."""
+
+    def __init__(self, exists=False, timed_out=False):
+        self.exists = exists
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.timeout_set = None
+
+    def update(self, v):
+        self.exists = True
+
+    def remove(self):
+        self.exists = False
+        self.removed = True
+        # a later invocation for this key sees a fresh, non-timed-out
+        # state (hasTimedOut is per-invocation in the real GroupState)
+        self.hasTimedOut = False
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_set = ms
+
+
+def test_streaming_dedup_ttl_state_machine():
+    """TTL mode (VERDICT r4 #5), deterministic at the state-transition
+    level: a timed-out key is REMOVED (so its next sighting re-emits),
+    a fresh key emits and arms the TTL, a seen key suppresses and
+    re-arms; exact mode (ttl_ms=None) never touches timeouts."""
+    import pandas as pd
+
+    from yaii_spark.streaming import make_dedup_state_fn
+
+    fn = make_dedup_state_fn(ttl_ms=500)
+    batch = [pd.DataFrame({"keep_id": [7, 3]})]
+
+    # fresh key: emit min id, arm TTL
+    st = _FakeGroupState()
+    out = list(fn(("h1",), iter(batch), st))
+    assert len(out) == 1 and out[0]["keep_id"].iloc[0] == 3
+    assert st.exists and st.timeout_set == 500
+
+    # seen key: suppress, re-arm (sliding TTL)
+    st = _FakeGroupState(exists=True)
+    assert list(fn(("h1",), iter(batch), st)) == []
+    assert st.timeout_set == 500 and not st.removed
+
+    # idle past TTL: timeout invocation removes the entry...
+    st = _FakeGroupState(exists=True, timed_out=True)
+    assert list(fn(("h1",), iter([]), st)) == []
+    assert st.removed and not st.exists
+    # ...so the next sighting RE-EMITS
+    out = list(fn(("h1",), iter(batch), st))
+    assert len(out) == 1 and out[0]["keep_id"].iloc[0] == 3
+
+    # exact mode: no timeout interaction at all
+    fn0 = make_dedup_state_fn(None)
+    st = _FakeGroupState(exists=True)
+    assert list(fn0(("h1",), iter(batch), st)) == []
+    assert st.timeout_set is None
+
+
+def test_streaming_dedup_ttl_end_to_end(spark, tmp_path):
+    """TTL wiring through a real query (ProcessingTimeTimeout active):
+    a duplicate within the TTL is suppressed; after idling well past
+    the TTL the key is evicted by the engine's timeout batches and the
+    same content RE-EMITS. Margins are generous (10 s TTL vs sub-second
+    batch cadence; 20 s idle) because processing-time expiry is
+    wall-clock-driven. NOTE: processAllAvailable() never latches under
+    ProcessingTimeTimeout (the engine keeps scheduling timeout-eviction
+    batches), so the harness polls the sink instead."""
+    import datetime as dt
+    import os
+    import time as _time
+
+    from yaii_spark.streaming import streaming_dedup
+    from yaii_spark.synth import EPOCH, PAGES_SCHEMA, render_html
+
+    d = str(tmp_path / "incoming_ttl")
+    ckpt = str(tmp_path / "ckpt_ttl")
+    os.makedirs(d, exist_ok=True)
+
+    def write_batch(rows):
+        data = [
+            (i, f"https://x/{i}", EPOCH + dt.timedelta(seconds=i),
+             render_html(t), t, "en", i)
+            for i, t in rows
+        ]
+        spark.createDataFrame(data, PAGES_SCHEMA).write.mode("append").parquet(d)
+
+    def rows():
+        return sorted(
+            r.keep_id
+            for r in spark.sql("SELECT keep_id FROM dedup_ttl_sink").collect()
+        )
+
+    def wait_rows(want, timeout=90):
+        end = _time.time() + timeout
+        while _time.time() < end:
+            got = rows()
+            if got == want:
+                return got
+            _time.sleep(0.3)
+        return rows()
+
+    write_batch([(1, "alpha beta"), (2, "alpha  BETA "), (3, "gamma")])
+    src = spark.readStream.schema(PAGES_SCHEMA).parquet(d)
+    q = (
+        streaming_dedup(src, ttl_ms=10_000)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("dedup_ttl_sink").option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        # in-batch dup suppressed (min id wins), distinct content kept
+        assert wait_rows([1, 3]) == [1, 3]
+        # idle >> TTL: both keys evicted by the engine's timeout batches
+        _time.sleep(20)
+        # expired content re-emits; 5 rides the same batch as proof the
+        # pipeline is still deduping normally
+        write_batch([(5, "alpha beta"), (6, "alpha beta")])
+        assert wait_rows([1, 3, 5]) == [1, 3, 5]
     finally:
         q.stop()

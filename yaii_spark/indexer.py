@@ -1093,6 +1093,28 @@ def merge_segments(
     meta = cat_in.seg_meta()
     post = cat_in.postings()
 
+    # deployment guard (VERDICT r4: measured 2× phrase-eval slowdown at
+    # 4 segments / 8 cores): per-term query stages (phrase position
+    # decode, BM25 block decode) parallelize BY SEGMENT, so merging
+    # below the core count caps their task count. Never binds at scale
+    # (10^6 segments / 1000 executors); warns on over-compaction.
+    import warnings
+
+    n_before = meta.select("seg_id").distinct().count()
+    n_after_est = (
+        meta.select((F.col("seg_id") / factor).cast("long")).distinct().count()
+    )
+    par = spark.sparkContext.defaultParallelism
+    if n_after_est < par:
+        warnings.warn(
+            f"merge_segments: factor {factor} leaves {n_after_est} segments "
+            f"< defaultParallelism ({par}); phrase/BM25 stages parallelize "
+            f"by segment, so this caps their task count — consider factor "
+            f"≤ {max(1, n_before // par)}",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+
     # ---- per-new-segment purge blobs: tombstoned LOCAL ids (plus any
     # holes a previous purging merge already recorded in deleted_bin),
     # delta+varint-encoded — one small blob per merged segment, joined
@@ -1346,4 +1368,4 @@ def merge_segments(
         os.path.join(out_dir, "corpus_stats"),
     )
     n_after = read_table(spark, os.path.join(out_dir, "seg_meta")).count()
-    return {"segments_before": meta.select("seg_id").distinct().count(), "segments_after": n_after}
+    return {"segments_before": n_before, "segments_after": n_after}

@@ -395,8 +395,15 @@ def connected_components(
             .select(F.col("a").alias("node"), "nl")
         )
         stepped = labels.join(nbr, "node", "left").select(
-            "node", F.least("label", F.coalesce("nl", "label")).alias("label")
+            "node",
+            F.col("label").alias("old"),
+            F.least("label", F.coalesce("nl", "label")).alias("label"),
         )
+        # carry the round-entry label (`old`) through the jump so the
+        # fixpoint check is an AGGREGATE over this round's result — the
+        # lazy localCheckpoint materializes and the changed-count
+        # computes in the SAME job, instead of a separate join+count job
+        # per round (VERDICT r4 #4)
         jumped = (
             stepped.alias("x")
             .join(
@@ -408,19 +415,17 @@ def connected_components(
             )
             .select(
                 F.col("x.node").alias("node"),
+                F.col("x.old").alias("old"),
                 F.least(F.col("x.label"), F.coalesce("jl", F.col("x.label"))).alias(
                     "label"
                 ),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            jumped.select("node", F.col("label").alias("new_label"))
-            .join(labels, "node")
-            .filter(F.col("new_label") != F.col("label"))
-            .count()
-        )
-        labels = jumped
+        changed = jumped.agg(
+            F.sum((F.col("label") != F.col("old")).cast("long")).alias("c")
+        ).collect()[0]["c"]
+        labels = jumped.select("node", "label")
         if changed == 0:
             break
     else:

@@ -150,9 +150,17 @@ class Not(Node):
 
 # -- combinator API (names follow the reference DSL) ------------------------
 
-def token(term: str, field_name: str = "text") -> Node:
+def token(term, field_name: str = "text") -> Node:
     # arrays of values are an implicit OR in the reference
-    # (query-ir.ts:131-158); we mirror with an explicit Or
+    # (query-ir.ts:131-158); we mirror with an explicit Or.
+    # TokenValue = string | boolean (query-ir.ts:37-38): the reference
+    # folds booleans into the term dictionary as sentinel terms
+    # ("A"/"B"); our typed-column stance (the one that retired the
+    # numeric trie — SURVEY §1.2) maps them onto the attribute-equality
+    # predicate over the stored column instead — same matches, no
+    # dictionary entry.
+    if isinstance(term, bool):
+        return NumberEq(field_name, term)
     return Token(term, field_name)
 
 
