@@ -288,32 +288,67 @@ def make_append_committer(index_dir: str, seg_size: int = 1 << 20, **build_kwarg
         sp = batch_df.sparkSession
         ledger = f"{index_dir}/sink_ledger"
         start = None
+        led_rows = []
         if fs_exists(sp, ledger):
-            rows = (
-                read_table(sp, ledger)
-                .filter(F.col("batch_id") == int(batch_id))
-                .collect()
-            )
-            if rows:  # replay: reuse the original range
-                start = int(rows[0].start_id)
+            led_rows = read_table(sp, ledger).collect()  # tiny: 1 row/batch
+            mine = [r for r in led_rows if int(r.batch_id) == int(batch_id)]
+            if mine:  # replay: reuse the original range
+                start = int(mine[0].start_id)
         if start is None:
-            start = 0
-            if IndexCatalog(sp, index_dir).exists():
+            # the batch's row count pins its segment span (end_id), so
+            # the NEXT free range comes straight off the ledger — a
+            # 1-row-per-batch table — instead of a per-batch max-scan
+            # over the ever-growing seg_meta table (r5: that scan was
+            # O(#segments) per commit). Invariant: the sink owns the
+            # index's append lifecycle — every appended range is
+            # ledgered here. Pre-r5 ledger rows lack end_id → fall back
+            # to the seg_meta scan until this commit rewrites the
+            # (tiny) ledger with spans.
+            n_rows = batch_df.count()
+            ends = [
+                int(r.end_id)
+                for r in led_rows
+                if "end_id" in r.__fields__ and r.end_id is not None
+            ]
+            if led_rows and len(ends) == len(led_rows):
+                start = max(ends)
+            elif IndexCatalog(sp, index_dir).exists():
                 mx = (
                     read_table(sp, f"{index_dir}/seg_meta")
                     .agg(F.max(F.col("seg_id").cast("long")))
                     .collect()[0][0]
                 )
                 start = (int(mx) + 1) * seg_size
+            else:
+                start = 0
+            n_segs = max(1, -(-n_rows // seg_size))  # ceil
+            end = start + n_segs * seg_size
             # durable BEFORE any index write — the range assignment must
-            # survive a crash mid-build so the replay lands on it
-            write_table(
-                sp.createDataFrame(
-                    [(int(batch_id), int(start))], "batch_id long, start_id long"
-                ),
-                ledger,
-                mode="append" if fs_exists(sp, ledger) else "overwrite",
-            )
+            # survive a crash mid-build so the replay lands on it. A
+            # pre-r5 ledger (no end_id column) is rewritten whole — it
+            # is tiny, and a parquet dir with mixed schemas would read
+            # back whichever file's schema gets sampled.
+            led_schema = "batch_id long, start_id long, end_id long"
+            if led_rows and "end_id" not in led_rows[0].__fields__:
+                # backfill spans so the fast path engages from now on:
+                # each old range ends where the next begins (ranges are
+                # allocated contiguously), the last at this batch's
+                # scan-derived start
+                old = sorted(led_rows, key=lambda r: int(r.start_id))
+                nexts = [int(r.start_id) for r in old[1:]] + [int(start)]
+                rows = [
+                    (int(r.batch_id), int(r.start_id), e)
+                    for r, e in zip(old, nexts)
+                ] + [(int(batch_id), int(start), int(end))]
+                write_table(sp.createDataFrame(rows, led_schema), ledger)
+            else:
+                write_table(
+                    sp.createDataFrame(
+                        [(int(batch_id), int(start), int(end))], led_schema
+                    ),
+                    ledger,
+                    mode="append" if fs_exists(sp, ledger) else "overwrite",
+                )
         pages = assign_dense_ids(batch_df, start)
         build_index(
             sp, pages, index_dir, seg_size=seg_size, append=True, **build_kwargs
