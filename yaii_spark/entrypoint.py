@@ -126,12 +126,19 @@ def get_index(
                 "_all": (["text", "source"], "all"),
             }
         docs = read_table(spark, os.path.join(sf_dir, "documents.parquet"))
+        stored = ["text", "lang", "source", "n_chars"]
+        if variant == "bool":
+            # computed boolean attribute (X2 ValueGenerator) for the
+            # boolean-TokenValue parity query: token(True, "is_en")
+            # resolves to the typed-column predicate over this column
+            docs = docs.withColumn("is_en", F.col("lang") == F.lit("en"))
+            stored = stored + ["is_en"]
         build_index(
             spark,
             docs,
             out,
             seg_size=seg_size,
-            stored_cols=["text", "lang", "source", "n_chars"],
+            stored_cols=stored,
             fields=fields,
         )
         cat = _catalog(spark, out)  # fresh marker mtime → fresh caches
@@ -319,6 +326,17 @@ def q_multi_source_all(spark, sf_dir):
     the `source` column ('src7') matches through _all."""
     cat = get_index(spark, sf_dir, variant="multi_all")
     return execute_boolean(cat, A.token("src7", "_all"))
+
+
+def q_token_bool(spark, sf_dir):
+    """Boolean TokenValue (TokenValue = string | boolean, reference
+    query-ir.ts:37-38 — booleans become the dictionary sentinel terms
+    "A"/"B" there): A.token(True, field) resolves to the typed-column
+    attribute predicate over a computed stored boolean (is_en), here
+    AND-composed with a real token so the posting and attribute paths
+    both execute (the hybrid join)."""
+    cat = get_index(spark, sf_dir, variant="bool")
+    return execute_boolean(cat, A.and_(A.token("dup"), A.token(True, "is_en")))
 
 
 def q_last(spark, sf_dir):
@@ -632,9 +650,11 @@ def queries():
     query lands in a recorded artifact (VERDICT r4 #2). Every entry
     still runs in scripts/check_oracles.py regardless of order."""
     return {
-        # rotated to the head this round — see docstring
+        # rotated to the head this round — see docstring (q_token_bool
+        # is new in r5, so it leads with the two r4-unrecorded entries)
         "q_events_by_type": q_events_by_type,
         "q_events_windowed": q_events_windowed,
+        "q_token_bool": q_token_bool,
         # boolean retrieval over the inverted index (P2-P7, U1-U3, J1)
         "q_token": _bool_q(lambda: A.token("dup")),
         "q_or": _bool_q(lambda: A.or_(A.token("dup"), A.token("key"))),
@@ -760,6 +780,10 @@ def oracle_sql():
         "q_has_field": "SELECT doc_id FROM documents WHERE lang IS NOT NULL",
         "q_mixed_and": f"WITH {_TOK_CTE} SELECT t.doc_id FROM tok t JOIN documents d USING (doc_id) "
         f"WHERE {_contains_sql('dup')} AND d.n_chars < 300",
+        # boolean TokenValue → typed-column predicate over the computed
+        # is_en boolean (lang = 'en'), AND a posting-list token
+        "q_token_bool": f"WITH {_TOK_CTE} SELECT t.doc_id FROM tok t JOIN documents d USING (doc_id) "
+        f"WHERE {_contains_sql('dup')} AND (d.lang = 'en') = true",
         "q_sort_limit": "SELECT doc_id, n_chars FROM documents ORDER BY n_chars ASC, doc_id ASC LIMIT 10",
         "q_bm25_rare": _bm25_sql(["dup"], 10, "or"),
         "q_bm25_mixed": _bm25_sql(["dup", "batch"], 10, "or"),
