@@ -462,6 +462,14 @@ def test_incremental_term_stats_fold_matches_full(spark, tmp_path, monkeypatch):
     folded = _ts_rows(spark, idx)
     assert folded == _full_rebuild_rows(spark, tmp_path, [b1, b2], "fold_full")
 
+    # corpus stats (n_docs, avgdl) now aggregate from the ledger's
+    # (n_docs, sum_dl) rows — must equal the one-shot build's (dl are
+    # integer token counts, so float sums are order-independent exact)
+    cs = read_table(spark, f"{idx}/corpus_stats").collect()[0]
+    cs_full = read_table(spark, str(tmp_path / "fold_full") + "/corpus_stats").collect()[0]
+    assert cs.n_docs == cs_full.n_docs == 100
+    assert abs(cs.avgdl - cs_full.avgdl) < 1e-9
+
     # replay of batch 1: everything already folded → dictionary unchanged
     monkeypatch.setattr(IX, "_write_term_stats_full", _boom)
     commit(b2, 1)

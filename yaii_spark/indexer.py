@@ -348,6 +348,44 @@ def assign_dense_ids(
     )
 
 
+def _dl_sum_udf():
+    """Sum of a segment's varint dl blob — one value per segment row
+    (the stats_ledger's sum_dl source; never one row per doc). Built
+    lazily: decorating at import time needs an active SparkSession."""
+
+    @F.pandas_udf("double")
+    def dl_sum(blobs: pd.Series) -> pd.Series:
+        from yaii_spark.codec import varint_decode
+
+        return blobs.map(
+            lambda b: float(varint_decode(b).sum()) if b is not None else 0.0
+        )
+
+    return dl_sum
+
+
+def _seg_stats_df(spark: SparkSession, out_dir: str, segs: list[int] | None) -> DataFrame:
+    """(seg_id, n_docs, sum_dl) rows for `segs` (None = every durable
+    segment) — the stats_ledger payload. Distributed: n_docs comes from
+    the seg_meta column, sum_dl from one blob-decode per segment row."""
+    meta = read_table(spark, os.path.join(out_dir, "seg_meta")).withColumn(
+        "seg_id", F.col("seg_id").cast("long")
+    )
+    if segs is not None:
+        if len(segs) <= 4096:
+            meta = meta.filter(F.col("seg_id").isin([int(s) for s in segs]))
+        else:
+            seg_df = spark.createDataFrame(
+                [(int(s),) for s in segs], "seg_id long"
+            )
+            meta = meta.join(F.broadcast(seg_df), "seg_id", "left_semi")
+    return meta.select(
+        "seg_id",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        _dl_sum_udf()(F.col("dl_bin")).alias("sum_dl"),
+    )
+
+
 def _scoped_postings(spark: SparkSession, out_dir: str, segs: list[int]) -> DataFrame:
     """Postings restricted to `segs`: an In-list filter on the seg_id
     partition column (static partition pruning — only those segments'
@@ -394,10 +432,14 @@ def _write_term_stats_full(spark: SparkSession, out_dir: str, post_all: DataFram
     marker = os.path.join(out_dir, "stats_folding")
     fs_touch(spark, marker)
     write_table(ts_df, os.path.join(out_dir, "term_stats"), partition_by=["bucket"])
-    # ledger = every segment whose postings the dictionary now covers
-    # (postings are the source of truth under resume)
+    # ledger = every durable segment (seg_meta universe — postings-free
+    # token-less segments still count docs), carrying its corpus-stat
+    # contribution (n_docs, sum_dl) so append-mode corpus stats are a
+    # tiny-ledger aggregate instead of a per-batch decode of EVERY
+    # segment's dl blob (~1 byte/doc → corpus-scale bytes per
+    # micro-batch at 10^12 docs)
     write_table(
-        post_all.select(F.col("seg_id").cast("long")).distinct(),
+        _seg_stats_df(spark, out_dir, None),
         os.path.join(out_dir, "stats_ledger"),
     )
     fs_delete(spark, marker)
@@ -439,34 +481,44 @@ def _fold_term_stats(spark: SparkSession, out_dir: str, new_segs: list[int]) -> 
         .groupBy("field", "term")
         .agg(F.sum("df_local").alias("df"), F.sum("cf_local").alias("cf"))
         .withColumn("bucket", term_stats_bucket_col())
+        .persist()
     )
-    merged = (
-        read_table(spark, ts_path)
-        .join(delta.select("bucket").distinct(), "bucket", "left_semi")
-        .select("field", "term", "df", "cf", "bucket")
-        .unionByName(delta.select("field", "term", "df", "cf", "bucket"))
-        .groupBy("bucket", "field", "term")
-        .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
-        .select("field", "term", "df", "cf", "bucket")
-    )
-    write_table(merged, tmp_path)
+    touched = [int(r.bucket) for r in delta.select("bucket").distinct().collect()]
+    if touched:
+        merged = (
+            read_table(spark, ts_path)
+            .filter(F.col("bucket").isin(touched))
+            .select("field", "term", "df", "cf", "bucket")
+            .unionByName(delta.select("field", "term", "df", "cf", "bucket"))
+            .groupBy("bucket", "field", "term")
+            .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+            .select("field", "term", "df", "cf", "bucket")
+        )
+        write_table(merged, tmp_path)
 
     fs_touch(spark, marker)
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        write_table(
-            read_table(spark, tmp_path)
-            .repartition("bucket")
-            .sortWithinPartitions("bucket", "field", "term"),
-            ts_path,
-            partition_by=["bucket"],
-        )
-    finally:
-        if prev is not None:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    if touched:
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            write_table(
+                read_table(spark, tmp_path)
+                .repartition("bucket")
+                .sortWithinPartitions("bucket", "field", "term"),
+                ts_path,
+                partition_by=["bucket"],
+            )
+        finally:
+            if prev is not None:
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    delta.unpersist()
+    # ledger rows carry the new segments' corpus-stat contribution —
+    # committed in the SAME marker-guarded unit as the bucket overwrite,
+    # so corpus stats and the dictionary can never disagree about which
+    # segments are accounted (postings-free segments fold zero term
+    # rows but still append their doc counts here)
     write_table(
-        spark.createDataFrame([(int(s),) for s in new_segs], "seg_id long"),
+        _seg_stats_df(spark, out_dir, new_segs),
         os.path.join(out_dir, "stats_ledger"),
         mode="append",
     )
@@ -506,12 +558,17 @@ def build_index(
 
     `append=True` is the incremental-ingest mode (streaming.
     index_append_sink): `pages` is a NEW batch occupying fresh segment
-    ids, and the final corpus_stats (n_docs, avgdl) are recomputed from
-    the on-disk seg_meta dl blobs — the durable union of every batch —
-    instead of this batch alone (idempotent under retries). Appended
-    segments' block-max bounds are computed under the batch-local avgdl
-    (recorded as seg_meta.avgdl_built); BM25 pruning detects the drift
-    and scores those segments exactly until a merge refreshes bounds.
+    ids. Per-batch maintenance is O(batch), never O(index): term_stats
+    folds only the new segments' aggregates into the bucketed
+    dictionary (_fold_term_stats + stats_ledger, r5), and the final
+    corpus_stats (n_docs, avgdl) aggregate the ledger's per-segment
+    (n_docs, sum_dl) rows — the durable union of every batch — instead
+    of re-decoding every segment's dl blob (idempotent under retries;
+    a crashed batch's segments self-heal into both on the next fold).
+    Appended segments' block-max bounds are computed under the
+    batch-local avgdl (recorded as seg_meta.avgdl_built); BM25 pruning
+    detects the drift and scores those segments exactly until a merge
+    refreshes bounds.
     """
     if append and not resume:
         raise ValueError("append=True requires resume=True (checkpoint append)")
@@ -849,9 +906,17 @@ def build_index(
     )
     unfolded: list[int] = []
     if use_fold:
-        folded = read_table(spark, ledger_path).select(
-            F.col("seg_id").cast("long").alias("seg_id")
-        )
+        led = read_table(spark, ledger_path)
+        if "n_docs" not in led.columns:
+            # one-time migration of an early-r5 seg_id-only ledger:
+            # enrich with (n_docs, sum_dl) from seg_meta, marker-guarded
+            # (a torn rewrite falls back to the full recompute)
+            seg_list = [int(r.seg_id) for r in led.select("seg_id").distinct().collect()]
+            fs_touch(spark, marker_path)
+            write_table(_seg_stats_df(spark, out_dir, seg_list), ledger_path)
+            fs_delete(spark, marker_path)
+            led = read_table(spark, ledger_path)
+        folded = led.select(F.col("seg_id").cast("long").alias("seg_id"))
         seg_ids = (
             read_table(spark, os.path.join(out_dir, "seg_meta"))
             .select(F.col("seg_id").cast("long").alias("seg_id"))
@@ -873,40 +938,6 @@ def build_index(
         )
         _write_term_stats_full(spark, out_dir, post_all)
 
-    if append:
-        # corpus stats over the durable UNION of every appended batch:
-        # decode each segment's dl blob distributed (one row per
-        # segment reaches Python — 10^6 rows at 10^12 docs, never one
-        # per doc) and aggregate count + sum
-        def _dl_stats(it):
-            from yaii_spark.codec import varint_decode as _vd
-
-            for pdf in it:
-                ns, ss = [], []
-                for blob in pdf["dl_bin"]:
-                    d = _vd(blob)
-                    ns.append(int(d.size))
-                    ss.append(float(d.sum()))
-                yield pd.DataFrame({"n": ns, "s": ss})
-
-        srow = (
-            read_table(spark, os.path.join(out_dir, "seg_meta"))
-            .select("dl_bin")
-            .mapInPandas(_dl_stats, "n long, s double")
-            .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
-            .collect()[0]
-        )
-        metrics["n_docs_batch"] = n_total
-        n_total = int(srow["n"])
-        avgdl = float(srow["s"]) / n_total
-        metrics["n_docs_total"] = n_total
-        metrics["avgdl"] = avgdl
-    cs_df = spark.createDataFrame(
-        [(n_total, avgdl, float(k1), float(b), int(seg_size), BLOCK_SIZE,
-          FORMAT_VERSION)],
-        "n_docs long, avgdl double, k1 double, b double, seg_size long, "
-        "block_size long, format_version long",
-    )
     # lineage (ck) and term_stats are independent (in batch mode they
     # share the cached post_scope; concurrent computes of the same
     # cached blocks are block-manager-serialized) — overlap them.
@@ -923,6 +954,30 @@ def build_index(
             futs.append(pool.submit(write_table, ck, ckpt_path, mode=ck_mode))
         for f in futs:
             f.result()
+    if append:
+        # corpus stats over the durable UNION of every appended batch —
+        # aggregated from the stats_ledger (one tiny row per segment,
+        # complete after _ts_task folded/recomputed), NOT by re-decoding
+        # every segment's dl blob: those blobs are ~1 byte/doc, so the
+        # per-batch blob scan this replaces read corpus-scale BYTES
+        # (~1 TB per micro-batch at 10^12 docs) even though it was only
+        # 10^6 rows (r5; the last O(corpus) term in the append path)
+        srow = (
+            read_table(spark, ledger_path)
+            .agg(F.sum("n_docs").alias("n"), F.sum("sum_dl").alias("s"))
+            .collect()[0]
+        )
+        metrics["n_docs_batch"] = n_total
+        n_total = int(srow["n"])
+        avgdl = float(srow["s"]) / n_total
+        metrics["n_docs_total"] = n_total
+        metrics["avgdl"] = avgdl
+    cs_df = spark.createDataFrame(
+        [(n_total, avgdl, float(k1), float(b), int(seg_size), BLOCK_SIZE,
+          FORMAT_VERSION)],
+        "n_docs long, avgdl double, k1 double, b double, seg_size long, "
+        "block_size long, format_version long",
+    )
     write_table(cs_df, os.path.join(out_dir, "corpus_stats"))
     if post_scope is not None:
         post_scope.unpersist()
@@ -1338,11 +1393,12 @@ def merge_segments(
     )
     # stats_ledger: the carried dictionary covers every merged segment,
     # so the first post-merge append folds incrementally instead of
-    # falling back to a full recompute (_fold_term_stats)
+    # falling back to a full recompute (_fold_term_stats). Rows carry
+    # (n_docs, sum_dl) from the MERGED seg_meta — purged docs keep
+    # their dl values in dl_bin, so the ledger totals equal the
+    # carried-over corpus stats (the same stats lag, by construction).
     write_table(
-        read_table(spark, os.path.join(out_dir, "seg_meta"))
-        .select(F.col("seg_id").cast("long"))
-        .distinct(),
+        _seg_stats_df(spark, out_dir, None),
         os.path.join(out_dir, "stats_ledger"),
     )
     post_new = read_table(spark, os.path.join(out_dir, "postings"))

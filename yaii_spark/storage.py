@@ -14,6 +14,14 @@ Layout (SURVEY.md §7.0). An index directory holds five tables:
     <root>/corpus_stats/ single row: n_docs, avgdl, k1, b, seg_size
     <root>/checkpoints/  per-segment lineage: seg_id, n_docs, n_postings,
                           wall_sec, status — resumability (north_rule)
+    <root>/stats_ledger/ (seg_id, n_docs, sum_dl): segments whose
+                          postings are folded into term_stats, with
+                          their corpus-stat contribution — append-mode
+                          maintenance aggregates THIS tiny table, never
+                          the corpus (indexer._fold_term_stats)
+    <root>/stats_folding  torn-fold marker file: present only inside a
+                          fold's overwrite+ledger commit window; seen
+                          at build start → recover via full recompute
 
 All storage goes through ONE read/write seam (``read_table`` /
 ``write_table``): parquet directories by default, the same paths as
