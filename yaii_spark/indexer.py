@@ -386,6 +386,30 @@ def _seg_stats_df(spark: SparkSession, out_dir: str, segs: list[int] | None) -> 
     )
 
 
+def _check_append_geometry(spark: SparkSession, out_dir: str, seg_size: int) -> None:
+    """Refuse to append with a seg_size different from the index's:
+    segment geometry is GLOBAL (doc_id = seg_id*seg_size + local — the
+    invariant every query path decodes against), so a mismatched append
+    would derive doc ids that collide with or straddle existing
+    segments. Bites after a merge, which multiplies seg_size by the
+    merge factor; callers must pass the merged size. One 1-row read per
+    append; no-op on a not-yet-created index."""
+    cs_path = os.path.join(out_dir, "corpus_stats")
+    if not fs_exists(spark, cs_path):
+        return
+    try:
+        existing = int(read_table(spark, cs_path).collect()[0].seg_size)
+    except Exception:
+        return  # half-written marker table — build proceeds and rewrites it
+    if existing != int(seg_size):
+        raise ValueError(
+            f"append with seg_size={int(seg_size)} onto an index built with "
+            f"seg_size={existing} — segment geometry is global "
+            "(doc_id = seg_id*seg_size + local); pass the index's current "
+            "seg_size (a merge multiplies it by the merge factor)"
+        )
+
+
 def _scoped_postings(spark: SparkSession, out_dir: str, segs: list[int]) -> DataFrame:
     """Postings restricted to `segs`: an In-list filter on the seg_id
     partition column (static partition pruning — only those segments'
@@ -572,6 +596,8 @@ def build_index(
     """
     if append and not resume:
         raise ValueError("append=True requires resume=True (checkpoint append)")
+    if append:
+        _check_append_geometry(spark, out_dir, seg_size)
     t0 = time.time()
     # a non-resuming build over an existing index dir must not inherit
     # stale partitions: dynamic overwrite only replaces seg_ids present

@@ -286,6 +286,13 @@ def make_append_committer(index_dir: str, seg_size: int = 1 << 20, **build_kwarg
         if batch_df.isEmpty():
             return
         sp = batch_df.sparkSession
+        # geometry guard BEFORE the range assignment becomes durable: a
+        # seg_size mismatched with the index (e.g. the pre-merge size
+        # after a merge multiplied it) would ledger a range that
+        # collides with existing segments (indexer._check_append_geometry)
+        from yaii_spark.indexer import _check_append_geometry
+
+        _check_append_geometry(sp, index_dir, seg_size)
         ledger = f"{index_dir}/sink_ledger"
         start = None
         led_rows = []
