@@ -943,9 +943,24 @@ def build_index(
             fs_delete(spark, marker_path)
             led = read_table(spark, ledger_path)
         folded = led.select(F.col("seg_id").cast("long").alias("seg_id"))
+        # durable universe = prior checkpoints ∪ THIS batch's pending
+        # (its checkpoint rows land concurrently with the fold, in the
+        # next pool). Checkpoints are UNPARTITIONED — one row per built
+        # segment, the same source resume trusts — unlike seg_meta,
+        # whose per-segment partition dirs make the listing itself
+        # O(#segments) FS calls per batch. A checkpointed segment's
+        # postings/meta are durable (written before the ck pool); a
+        # crashed batch that died before its checkpoints is re-driven
+        # whole by the sink's replay, which re-enters here.
         seg_ids = (
-            read_table(spark, os.path.join(out_dir, "seg_meta"))
+            read_table(spark, ckpt_path)
+            .filter("status = 'done'")
             .select(F.col("seg_id").cast("long").alias("seg_id"))
+            .union(
+                spark.createDataFrame(
+                    [(int(s),) for s in pending] or [(int(-1),)], "seg_id long"
+                ).filter(F.col("seg_id") >= 0)
+            )
             .distinct()
         )
         unfolded = sorted(
