@@ -91,8 +91,15 @@ def main():
     ).count()
     n_terms = ts.count()
 
-    early = sum(walls[2:6]) / 4
-    late = sum(walls[-4:]) / 4
+    # window stats need enough batches that the early (post-warmup) and
+    # late windows don't overlap; degrade to halves for short runs
+    if n_batches >= 10:
+        e_win, l_win = walls[2:6], walls[-4:]
+    else:
+        mid = max(1, len(walls) // 2)
+        e_win, l_win = walls[:mid], walls[mid:]
+    early = sum(e_win) / len(e_win)
+    late = sum(l_win) / len(l_win)
     out = {
         "n_batches": n_batches,
         "batch_docs": batch_docs,

@@ -513,6 +513,13 @@ def test_connected_components(spark):
     assert got[1] == got[2] == got[3] == 1 and got[10] == got[20] == 10
     assert all(got[i] == i for i in range(30) if i not in {2, 3, 20})
 
+    # EMPTY edge list (a clean corpus): every doc is its own singleton —
+    # regression for sum-over-empty returning NULL, which made the
+    # fixpoint check never trigger and raised 'did not converge'
+    e0 = spark.createDataFrame([], "id_a long, id_b long")
+    got0 = {r.doc_id: r.cluster_id for r in assign_clusters(docs, e0).collect()}
+    assert got0 == {i: i for i in range(30)}
+
 
 def test_connected_components_no_separate_count_action(spark, monkeypatch):
     """The fixpoint check rides the aggregate that materializes the

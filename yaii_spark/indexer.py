@@ -307,16 +307,29 @@ def assign_dense_ids(
     see the same row→partition mapping, so `parts` is persisted before
     the counts job (ADVICE r4: an AQE-coalesced shuffle or a
     nondeterministic source re-evaluated between the jobs would remap
-    rows silently). A partition id that still appears without an offset
-    (cache-evicted + remapped recompute) fails LOUDLY via raise_error
-    instead of being dropped by a join. The cached blocks are released
-    by Spark's ContextCleaner when the returned lineage is dropped;
-    callers doing many batches (the streaming sink) hold each result
-    only for the batch's duration."""
+    rows silently); when the INPUT is already persisted (the streaming
+    committer does this) the extra layer is skipped — recomputing the
+    narrow _pid projection from cached parent blocks preserves the
+    partition mapping. The assignment VERIFIES the mapping in the same
+    pass: a partition id with no offset, or a partition whose row count
+    differs from the counts job's (a recompute that redistributed rows
+    between existing pids — offset ranges would overlap), fails LOUDLY
+    via raise_error instead of silently dropping/duplicating ids.
+
+    Cache lifecycle: any persist taken here is exposed on the result as
+    `result._dense_ids_cache` — long-running callers (the sink commits
+    thousands of batches; DataFrame caches are pinned by the
+    CacheManager until explicitly unpersisted, NOT GC-reclaimed)
+    unpersist it once the batch is consumed."""
     from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
 
     spark = df.sparkSession
-    parts = df.withColumn("_pid", F.spark_partition_id()).persist()
+    parts = df.withColumn("_pid", F.spark_partition_id())
+    cache_handle = None
+    if df.storageLevel == StorageLevel.NONE:
+        parts = parts.persist()
+        cache_handle = parts
     counts = {
         r._pid: r.c
         for r in parts.groupBy("_pid").agg(F.count("*").alias("c")).collect()
@@ -324,16 +337,20 @@ def assign_dense_ids(
     acc = int(start)
     offs = []
     for pid in sorted(counts):
-        offs.append((pid, acc))
+        offs.append((pid, acc, int(counts[pid])))
         acc += int(counts[pid])
-    off_df = spark.createDataFrame(offs or [(0, int(start))], "_pid int, _off long")
+    off_df = spark.createDataFrame(
+        offs or [(0, int(start), 0)], "_pid int, _off long, _exp long"
+    )
     w = Window.partitionBy("_pid").orderBy(F.monotonically_increasing_id())
+    wcnt = Window.partitionBy("_pid")
     assigned = F.col("_off") + F.row_number().over(w) - F.lit(1)
-    return (
+    ok = F.col("_off").isNotNull() & (F.count("*").over(wcnt) == F.col("_exp"))
+    out = (
         parts.join(F.broadcast(off_df), "_pid", "left")
         .withColumn(
             id_col,
-            F.when(F.col("_off").isNotNull(), assigned).otherwise(
+            F.when(ok, assigned).otherwise(
                 F.raise_error(
                     F.lit(
                         "assign_dense_ids: row→partition mapping changed "
@@ -344,8 +361,10 @@ def assign_dense_ids(
                 )
             ),
         )
-        .drop("_pid", "_off")
+        .drop("_pid", "_off", "_exp")
     )
+    out._dense_ids_cache = cache_handle
+    return out
 
 
 def _dl_sum_udf():
@@ -364,6 +383,21 @@ def _dl_sum_udf():
     return dl_sum
 
 
+def _filter_by_seg_ids(df: DataFrame, segs: list[int]) -> DataFrame:
+    """Restrict a seg_id-partitioned table to `segs`: an In-list filter
+    (static partition pruning — only those segments' directories are
+    ever listed/read) when the list is small, a broadcast semi-join for
+    very large lists (a 10^6-element In-list would bloat the plan).
+    Callers must cast seg_id to LONG first (partition inference reads
+    it back as int — the cogroup-key hazard)."""
+    if len(segs) <= 4096:
+        return df.filter(F.col("seg_id").isin([int(s) for s in segs]))
+    seg_df = df.sparkSession.createDataFrame(
+        [(int(s),) for s in segs], "seg_id long"
+    )
+    return df.join(F.broadcast(seg_df), "seg_id", "left_semi")
+
+
 def _seg_stats_df(spark: SparkSession, out_dir: str, segs: list[int] | None) -> DataFrame:
     """(seg_id, n_docs, sum_dl) rows for `segs` (None = every durable
     segment) — the stats_ledger payload. Distributed: n_docs comes from
@@ -372,13 +406,7 @@ def _seg_stats_df(spark: SparkSession, out_dir: str, segs: list[int] | None) -> 
         "seg_id", F.col("seg_id").cast("long")
     )
     if segs is not None:
-        if len(segs) <= 4096:
-            meta = meta.filter(F.col("seg_id").isin([int(s) for s in segs]))
-        else:
-            seg_df = spark.createDataFrame(
-                [(int(s),) for s in segs], "seg_id long"
-            )
-            meta = meta.join(F.broadcast(seg_df), "seg_id", "left_semi")
+        meta = _filter_by_seg_ids(meta, segs)
     return meta.select(
         "seg_id",
         F.col("n_docs").cast("long").alias("n_docs"),
@@ -392,15 +420,20 @@ def _check_append_geometry(spark: SparkSession, out_dir: str, seg_size: int) -> 
     invariant every query path decodes against), so a mismatched append
     would derive doc ids that collide with or straddle existing
     segments. Bites after a merge, which multiplies seg_size by the
-    merge factor; callers must pass the merged size. One 1-row read per
-    append; no-op on a not-yet-created index."""
-    cs_path = os.path.join(out_dir, "corpus_stats")
-    if not fs_exists(spark, cs_path):
+    merge factor; callers must pass the merged size.
+
+    Fail-open ONLY when the commit marker says the index is incomplete
+    (a crashed build mid-corpus_stats-write — the replay legitimately
+    proceeds and rewrites it); on a COMPLETE index any read/format
+    error PROPAGATES — a guard that silently disarms on a transient FS
+    error would wave through the exact corruption it exists to stop.
+    One 1-row read per append; no-op on a not-yet-created index."""
+    from yaii_spark.storage import IndexCatalog
+
+    cat = IndexCatalog(spark, out_dir)
+    if not cat.exists():  # absent or incomplete (no commit marker)
         return
-    try:
-        existing = int(read_table(spark, cs_path).collect()[0].seg_size)
-    except Exception:
-        return  # half-written marker table — build proceeds and rewrites it
+    existing = int(cat.corpus_stats().seg_size)  # format gate included
     if existing != int(seg_size):
         raise ValueError(
             f"append with seg_size={int(seg_size)} onto an index built with "
@@ -411,19 +444,11 @@ def _check_append_geometry(spark: SparkSession, out_dir: str, seg_size: int) -> 
 
 
 def _scoped_postings(spark: SparkSession, out_dir: str, segs: list[int]) -> DataFrame:
-    """Postings restricted to `segs`: an In-list filter on the seg_id
-    partition column (static partition pruning — only those segments'
-    directories are ever listed/read) when the list is small, a
-    broadcast semi-join for very large lists (a 10^6-element In-list
-    would bloat the plan). seg_id is cast to long (partition inference
-    reads it back as int)."""
+    """Postings restricted to `segs` (see _filter_by_seg_ids)."""
     df = read_table(spark, os.path.join(out_dir, "postings")).withColumn(
         "seg_id", F.col("seg_id").cast("long")
     )
-    if len(segs) <= 4096:
-        return df.filter(F.col("seg_id").isin([int(s) for s in segs]))
-    seg_df = spark.createDataFrame([(int(s),) for s in segs], "seg_id long")
-    return df.join(F.broadcast(seg_df), "seg_id", "left_semi")
+    return _filter_by_seg_ids(df, segs)
 
 
 def _write_term_stats_full(spark: SparkSession, out_dir: str, post_all: DataFrame) -> None:

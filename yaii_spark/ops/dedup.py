@@ -422,9 +422,11 @@ def connected_components(
             )
             .localCheckpoint(eager=False)
         )
+        # `or 0`: F.sum over an empty frame is NULL — an empty edge list
+        # (clean corpus) must converge on round 1, not exhaust max_iters
         changed = jumped.agg(
             F.sum((F.col("label") != F.col("old")).cast("long")).alias("c")
-        ).collect()[0]["c"]
+        ).collect()[0]["c"] or 0
         labels = jumped.select("node", "label")
         if changed == 0:
             break

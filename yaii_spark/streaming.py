@@ -293,6 +293,11 @@ def make_append_committer(index_dir: str, seg_size: int = 1 << 20, **build_kwarg
         from yaii_spark.indexer import _check_append_geometry
 
         _check_append_geometry(sp, index_dir, seg_size)
+        # ONE cache of the batch serves the span count, the dense-id
+        # partition counts, and the build's tokenize pass — released in
+        # the finally (caches pin block-manager memory until unpersisted;
+        # a sink runs thousands of batches)
+        batch_df = batch_df.persist()
         ledger = f"{index_dir}/sink_ledger"
         start = None
         led_rows = []
@@ -357,9 +362,15 @@ def make_append_committer(index_dir: str, seg_size: int = 1 << 20, **build_kwarg
                     mode="append" if fs_exists(sp, ledger) else "overwrite",
                 )
         pages = assign_dense_ids(batch_df, start)
-        build_index(
-            sp, pages, index_dir, seg_size=seg_size, append=True, **build_kwargs
-        )
+        try:
+            build_index(
+                sp, pages, index_dir, seg_size=seg_size, append=True, **build_kwargs
+            )
+        finally:
+            batch_df.unpersist()
+            h = getattr(pages, "_dense_ids_cache", None)
+            if h is not None:
+                h.unpersist()
 
     return commit
 
