@@ -1229,9 +1229,11 @@ def merge_segments(
     if n_after_est < par:
         warnings.warn(
             f"merge_segments: factor {factor} leaves {n_after_est} segments "
-            f"< defaultParallelism ({par}); phrase/BM25 stages parallelize "
+            f"< defaultParallelism ({par}); BM25 stages parallelize "
             f"by segment, so this caps their task count — consider factor "
-            f"≤ {max(1, n_before // par)}",
+            f"≤ {max(1, n_before // par)}. Boolean/phrase queries "
+            f"auto-compensate via doc-id-range splitting "
+            f"(executor._range_split_plan)",
             RuntimeWarning,
             stacklevel=2,
         )

@@ -24,6 +24,8 @@ a stage.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
@@ -522,6 +524,114 @@ def _apply_phrase_slicing(post: DataFrame, spark, slice_plan) -> DataFrame:
     )
 
 
+#: a doc-id range should span at least this many id-blocks, else the
+#: per-range boundary-block decode overhead outweighs the parallelism
+RANGE_SPLIT_MIN_BLOCKS = 4
+
+
+def _range_split_plan(cat: IndexCatalog) -> tuple[int, int] | None:
+    """Doc-id-range fan-out for merged / few-segment indexes. The
+    per-segment evaluation task is the unit of parallelism, so an index
+    merged down to fewer segments than cores leaves cores idle (the
+    round-4 1M probe measured dense phrases 2× slower at 4 segments /
+    8 cores). When ``n_segs < defaultParallelism``, split every segment
+    into R contiguous LOCAL doc-id ranges of width W and evaluate
+    (seg_id, range) groups independently: v5 id-blocks restart their
+    delta encoding absolutely at block boundaries and every stream
+    carries per-block byte offsets, so each range maps to a contiguous
+    block interval whose byte span decodes standalone (boundary blocks
+    overlap two ranges; the worker masks decoded ids to the range).
+
+    Driver-side and job-free — n_segs comes from corpus_stats geometry
+    (an underfull-append underestimate only raises R, which is benign).
+    Returns (R, W), or None for the default per-segment path — which is
+    what a 1000-executor cluster over 10^6 segments always takes, since
+    there R==1. ``YAII_RANGE_SPLIT=0`` disables; an integer forces R
+    (tests use this to exercise the path on tiny fixtures)."""
+    env = os.environ.get("YAII_RANGE_SPLIT", "").strip().lower()
+    if env in ("0", "off", "false"):
+        return None
+    cs = cat.corpus_stats()
+    n_segs = max(1, -(-cs.n_docs // cs.seg_size))
+    if env.isdigit():
+        r = int(env)
+    else:
+        r = cat.spark.sparkContext.defaultParallelism // n_segs
+        avg = -(-cs.n_docs // n_segs)
+        r = min(r, -(-avg // (RANGE_SPLIT_MIN_BLOCKS * cs.block_size)))
+    if r < 2:
+        return None
+    return r, -(-cs.seg_size // r)
+
+
+def _apply_range_split(
+    joined: DataFrame, spark, r: int, w: int, want_pos: bool
+) -> DataFrame:
+    """Replicate each segment's posting rows across R doc-id ranges and
+    slice every stream to the range's block interval JVM-side, so a
+    range task ships and decodes only its own blocks' bytes (total
+    shuffled bytes stay ≈ the unsplit stream — each block lands in
+    exactly one range, plus one shared boundary block per cut). The
+    block interval is a tiny vectorized searchsorted over
+    block_first_ids; the byte carving is Catalyst substr, same shape as
+    the selective-phrase slicer above."""
+    rng = spark.range(r).select(F.col("id").alias("_rid"))
+    out = joined.crossJoin(F.broadcast(rng))
+    lo_g = F.col("base_doc_id") + F.col("_rid") * F.lit(w)
+
+    @F.pandas_udf("array<int>")
+    def span_udf(bfi: pd.Series, los: pd.Series) -> pd.Series:
+        res = []
+        for b, lo in zip(bfi, los):
+            if b is None or len(b) == 0:
+                res.append(None)
+                continue
+            ba = np.asarray(b, dtype=np.int64)
+            b_lo = max(0, int(np.searchsorted(ba, lo, side="right")) - 1)
+            b_hi = int(np.searchsorted(ba, lo + w, side="left"))
+            res.append([b_lo, max(b_lo, b_hi)])
+        return pd.Series(res, index=bfi.index, dtype=object)
+
+    out = out.withColumn("_b", span_udf(F.col("block_first_ids"), lo_g))
+    blo = F.element_at(F.col("_b"), 1)
+    bhi = F.element_at(F.col("_b"), 2)
+
+    def _span(bin_col, offs_col):
+        # try_element_at: the last block's upper bound falls off the
+        # offsets array (→ NULL → stream end)
+        start = F.element_at(offs_col, blo + 1)
+        end = F.coalesce(
+            F.try_element_at(offs_col, bhi + 1), F.octet_length(bin_col)
+        )
+        return F.when(
+            F.col("_b").isNotNull() & bin_col.isNotNull() & offs_col.isNotNull(),
+            bin_col.substr(start + 1, end - start),
+        )
+
+    out = out.withColumn("_ids_sl", _span(F.col("doc_ids_bin"), F.col("block_id_offs")))
+    drop = ["_ids_sl", "_b", "block_first_ids", "block_id_offs"]
+    if want_pos:
+        out = (
+            out.withColumn("_tfs_sl", _span(F.col("tfs_bin"), F.col("block_tf_offs")))
+            .withColumn("_pos_sl", _span(F.col("pos_bin"), F.col("block_pos_offs")))
+            .withColumn(
+                "_po_sl",
+                F.when(
+                    F.col("_b").isNotNull() & F.col("block_pos_offs").isNotNull(),
+                    F.transform(
+                        F.slice(F.col("block_pos_offs"), blo + 1, bhi - blo),
+                        lambda x: x - F.element_at(F.col("block_pos_offs"), blo + 1),
+                    ),
+                ),
+            )
+            .withColumn("tfs_bin", F.col("_tfs_sl"))
+            .withColumn("pos_bin", F.col("_pos_sl"))
+            .withColumn("block_pos_offs", F.col("_po_sl"))
+        )
+        drop += ["_tfs_sl", "_pos_sl", "_po_sl", "block_tf_offs"]
+    return out.withColumn("doc_ids_bin", F.col("_ids_sl")).drop(*drop)
+
+
 def _eval_token_tree(cat: IndexCatalog, node: A.Node) -> DataFrame:
     """Evaluate a token-only subtree → DataFrame[doc_id]."""
     spark = cat.spark
@@ -536,10 +646,19 @@ def _eval_token_tree(cat: IndexCatalog, node: A.Node) -> DataFrame:
     slice_plan = (
         _phrase_slice_plan(cat, node) if (want_pos and phrase_terms) else None
     )
+    # the selective-phrase slicer already ships a tiny candidate subset
+    # of the streams; range-splitting on top would only re-cut it
+    range_plan = _range_split_plan(cat) if slice_plan is None else None
     cols = (
         ["seg_id", "field", "term", "doc_ids_bin"]
         + (["tfs_bin", "pos_bin", "block_pos_offs"] if want_pos else [])
         + (["block_first_ids", "block_tf_offs"] if slice_plan else [])
+        + (
+            ["block_first_ids", "block_id_offs"]
+            + (["block_tf_offs"] if want_pos else [])
+            if range_plan
+            else []
+        )
     )
     post = cat.postings(terms, scans=scans).select(*cols)
     if want_pos and phrase_terms:
@@ -566,6 +685,11 @@ def _eval_token_tree(cat: IndexCatalog, node: A.Node) -> DataFrame:
         if not terms and not scans:
             return _empty_ids(spark)
         joined = post.join(meta, "seg_id", "inner")
+    if range_plan is not None:
+        joined = _apply_range_split(
+            joined, spark, range_plan[0], range_plan[1], want_pos
+        )
+
     def _eval(pdf: pd.DataFrame, deleted: np.ndarray | None) -> pd.DataFrame:
         from yaii_spark.codec import delta_decode, varint_decode
 
@@ -573,11 +697,26 @@ def _eval_token_tree(cat: IndexCatalog, node: A.Node) -> DataFrame:
             return pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
         n_docs = int(pdf["n_docs"].iloc[0])
         base = int(pdf["base_doc_id"].iloc[0])
-        postings = {
-            (f, t): delta_decode_blocked(b, block).astype(np.int64) - base
-            for f, t, b in zip(pdf["field"], pdf["term"], pdf["doc_ids_bin"])
-            if t is not None and b is not None
-        }
+        lo = hi = None
+        if range_plan is not None:
+            w = range_plan[1]
+            rid = int(pdf["_rid"].iloc[0])
+            lo, hi = rid * w, min((rid + 1) * w, n_docs)
+        # full_ids: every doc in the shipped blocks (boundary blocks
+        # spill past the range); postings: masked to [lo, hi) — the
+        # membership sets the boolean algebra runs on. Positions index
+        # by full_ids so tf/posting alignment survives the mask.
+        full_ids = {}
+        postings = {}
+        for f, t, b in zip(pdf["field"], pdf["term"], pdf["doc_ids_bin"]):
+            if t is None or b is None:
+                continue
+            ids_f = delta_decode_blocked(b, block).astype(np.int64) - base
+            full_ids[(f, t)] = ids_f
+            if lo is not None:
+                s, e = np.searchsorted(ids_f, (lo, hi))
+                ids_f = ids_f[s:e]
+            postings[(f, t)] = ids_f
         pos_map = None
         if want_pos:
             pos_map = {}
@@ -593,14 +732,18 @@ def _eval_token_tree(cat: IndexCatalog, node: A.Node) -> DataFrame:
                     continue
                 if nb is not None:  # sliced-transfer row (selective phrase)
                     pos_map[(f, t)] = _SparsePositions(
-                        postings[(f, t)], nb, tsl, psl, block
+                        full_ids[(f, t)], nb, tsl, psl, block
                     )
                     continue
                 tfs = varint_decode(tb).astype(np.int64)
                 pos_map[(f, t)] = _LazyPositions(
-                    postings[(f, t)], tfs, pb, po, block
+                    full_ids[(f, t)], tfs, pb, po, block
                 )
         ids = _eval_numpy(node, postings, n_docs, pos_map)
+        if lo is not None:
+            # NOT/ALL universes span the whole segment; clamp to the
+            # range so sibling range tasks never double-count a doc
+            ids = ids[(ids >= lo) & (ids < hi)]
         db = pdf["deleted_bin"].iloc[0]
         if db is not None:
             purged = delta_decode(db).astype(np.int64)  # local ids
@@ -610,13 +753,14 @@ def _eval_token_tree(cat: IndexCatalog, node: A.Node) -> DataFrame:
             ids = np.setdiff1d(ids, np.sort(deleted) - base, assume_unique=False)
         return pd.DataFrame({"doc_id": ids + base})
 
+    keys = ["seg_id"] + (["_rid"] if range_plan is not None else [])
     tomb = cat.tombstones()
     if tomb is None:
 
         def eval_segment(pdf: pd.DataFrame):
             return _eval(pdf, None)
 
-        return joined.groupBy("seg_id").applyInPandas(eval_segment, schema="doc_id long")
+        return joined.groupBy(*keys).applyInPandas(eval_segment, schema="doc_id long")
 
     # tombstones arrive COGROUPED per segment — shuffle-partitioned like
     # any other table, never collected into one array row or broadcast
@@ -625,9 +769,20 @@ def _eval_token_tree(cat: IndexCatalog, node: A.Node) -> DataFrame:
         deleted = tpdf["doc_id"].to_numpy(dtype=np.int64) if len(tpdf) else None
         return _eval(pdf, deleted)
 
+    tomb_keyed = tomb.select("seg_id", "doc_id")
+    if range_plan is not None:
+        # route each tombstone to its doc's range task (the docID
+        # invariant: doc_id = seg_id * seg_size + local)
+        seg_size = cat.corpus_stats().seg_size
+        tomb_keyed = tomb_keyed.withColumn(
+            "_rid",
+            F.floor(
+                (F.col("doc_id") % F.lit(seg_size)) / F.lit(range_plan[1])
+            ).cast("long"),
+        )
     return (
-        joined.groupBy("seg_id")
-        .cogroup(tomb.select("seg_id", "doc_id").groupBy("seg_id"))
+        joined.groupBy(*keys)
+        .cogroup(tomb_keyed.groupBy(*keys))
         .applyInPandas(eval_segment_tomb, schema="doc_id long")
     )
 
