@@ -72,6 +72,25 @@ Q = {
     "phrase_dense_slop2": A.phrase([hot1, hot2], slop=2),
 }
 
+# BM25 pairs: the dense pair rides the exact path (density fallback);
+# the mid-rare pair exercises MaxScore block-max pruning under slicing
+mids = (
+    cat.term_stats()
+    .filter("field = 'text'")
+    .orderBy("df", ascending=False)
+    .limit(120)
+    .collect()
+)
+mid1, mid2 = mids[60].term, mids[119].term
+print(f"mid terms: {mid1} (df={mids[60].df}), {mid2} (df={mids[119].df})")
+
+from yaii_spark.queries.bm25 import bm25_topk  # noqa: E402
+
+BQ = {
+    "bm25_dense_exact": ([hot1, hot2], False),
+    "bm25_mid_pruned": ([mid1, mid2], True),
+}
+
 
 def timed(cat, q, label):
     t0 = time.time()
@@ -81,11 +100,21 @@ def timed(cat, q, label):
     return w, n
 
 
+def timed_bm25(cat, terms, prune, label):
+    t0 = time.time()
+    rows = bm25_topk(cat, terms, k=10, prune=prune).collect()
+    w = time.time() - t0
+    print(f"  {label}: {w:.2f} s (top {len(rows)})")
+    return w, [(row.doc_id, row.score) for row in rows]
+
+
 def run(cat, tag):
     print(f"[{tag}] range plan: {_range_split_plan(cat)}")
     out = {}
     for k, q in Q.items():
         out[k] = timed(cat, q, k)
+    for k, (terms, prune) in BQ.items():
+        out[k] = timed_bm25(cat, terms, prune, k)
     return out
 
 

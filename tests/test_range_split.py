@@ -107,6 +107,49 @@ def test_range_split_identity_tombstones_and_merge(
     assert _run_all(mcat, monkeypatch, 7) == base
 
 
+BM25_CASES = [
+    (["common", "w3"], "or", False),
+    (["common", "w3"], "or", True),   # density fallback → exact inside
+    (["alpha", "w1"], "or", True),
+    (["alpha", "w1"], "and", False),
+    (["rareterm", "w5"], "or", True),
+]
+
+
+def _bm25_all(cat, monkeypatch, r):
+    from yaii_spark.queries.bm25 import bm25_topk
+
+    monkeypatch.setenv("YAII_RANGE_SPLIT", str(r))
+    out = []
+    for terms, mode, prune in BM25_CASES:
+        rows = bm25_topk(cat, terms, k=13, mode=mode, prune=prune).collect()
+        out.append([(row.doc_id, row.score) for row in rows])
+    return out
+
+
+def test_range_split_bm25_identity(spark, split_index, work_dir, monkeypatch):
+    """BM25 (exact AND MaxScore-pruned) under the range split must be
+    float-identical to the per-segment path — per-doc accumulation
+    stays sorted-term-ordered inside the doc's owning range task, and
+    boundary-block spill is dead-masked. Runs on the (possibly
+    tombstoned) fixture index and on a purged 1-segment merge."""
+    cat = IndexCatalog(spark, split_index)
+    base = _bm25_all(cat, monkeypatch, 0)
+    assert _bm25_all(cat, monkeypatch, 5) == base
+    assert any(len(r) == 13 for r in base)  # k actually binds somewhere
+
+    merged = f"{work_dir}/range_split_merged_bm25"
+    monkeypatch.delenv("YAII_RANGE_SPLIT", raising=False)
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        merge_segments(spark, split_index, merged, factor=2)
+    mcat = IndexCatalog(spark, merged)
+    assert _bm25_all(mcat, monkeypatch, 0) == base
+    assert _bm25_all(mcat, monkeypatch, 7) == base
+
+
 def test_range_split_gate(spark, split_index, monkeypatch):
     cat = IndexCatalog(spark, split_index)
     monkeypatch.delenv("YAII_RANGE_SPLIT", raising=False)

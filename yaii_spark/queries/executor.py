@@ -564,17 +564,11 @@ def _range_split_plan(cat: IndexCatalog) -> tuple[int, int] | None:
     return r, -(-cs.seg_size // r)
 
 
-def _apply_range_split(
-    joined: DataFrame, spark, r: int, w: int, want_pos: bool
-) -> DataFrame:
-    """Replicate each segment's posting rows across R doc-id ranges and
-    slice every stream to the range's block interval JVM-side, so a
-    range task ships and decodes only its own blocks' bytes (total
-    shuffled bytes stay ≈ the unsplit stream — each block lands in
-    exactly one range, plus one shared boundary block per cut). The
-    block interval is a tiny vectorized searchsorted over
-    block_first_ids; the byte carving is Catalyst substr, same shape as
-    the selective-phrase slicer above."""
+def _with_range_spans(joined: DataFrame, spark, r: int, w: int) -> DataFrame:
+    """crossJoin the R-row range table and compute ``_b = [b_lo, b_hi)``
+    — the contiguous block interval each posting row contributes to its
+    range — via a tiny vectorized searchsorted over block_first_ids.
+    Shared by the boolean/phrase and BM25 range-split paths."""
     rng = spark.range(r).select(F.col("id").alias("_rid"))
     out = joined.crossJoin(F.broadcast(rng))
     lo_g = F.col("base_doc_id") + F.col("_rid") * F.lit(w)
@@ -592,22 +586,61 @@ def _apply_range_split(
             res.append([b_lo, max(b_lo, b_hi)])
         return pd.Series(res, index=bfi.index, dtype=object)
 
-    out = out.withColumn("_b", span_udf(F.col("block_first_ids"), lo_g))
-    blo = F.element_at(F.col("_b"), 1)
-    bhi = F.element_at(F.col("_b"), 2)
+    return out.withColumn("_b", span_udf(F.col("block_first_ids"), lo_g))
 
-    def _span(bin_col, offs_col):
-        # try_element_at: the last block's upper bound falls off the
-        # offsets array (→ NULL → stream end)
-        start = F.element_at(offs_col, blo + 1)
-        end = F.coalesce(
-            F.try_element_at(offs_col, bhi + 1), F.octet_length(bin_col)
-        )
-        return F.when(
-            F.col("_b").isNotNull() & bin_col.isNotNull() & offs_col.isNotNull(),
-            bin_col.substr(start + 1, end - start),
-        )
 
+# block-interval bounds read from the `_b` column _with_range_spans
+# added (plain Column factories — built lazily because constructing a
+# Column requires an active SparkContext)
+def _blo():
+    return F.element_at(F.col("_b"), 1)
+
+
+def _bhi():
+    return F.element_at(F.col("_b"), 2)
+
+
+def _range_sliced_bin(bin_col, offs_col):
+    """Byte span of blocks [b_lo, b_hi) — Catalyst substr, same shape
+    as the selective-phrase slicer. try_element_at: the last block's
+    upper bound falls off the offsets array (→ NULL → stream end)."""
+    start = F.element_at(offs_col, _blo() + 1)
+    end = F.coalesce(F.try_element_at(offs_col, _bhi() + 1), F.octet_length(bin_col))
+    return F.when(
+        F.col("_b").isNotNull() & bin_col.isNotNull() & offs_col.isNotNull(),
+        bin_col.substr(start + 1, end - start),
+    )
+
+
+def _range_sliced_arr(arr_col, rebase: bool = False):
+    """Per-block metadata array restricted to blocks [b_lo, b_hi);
+    rebase=True additionally subtracts the first kept entry (byte
+    offsets must be relative to the sliced stream's start)."""
+    sl = F.slice(arr_col, _blo() + 1, _bhi() - _blo())
+    if rebase:
+        sl = F.transform(sl, lambda x: x - F.element_at(arr_col, _blo() + 1))
+    return F.when(F.col("_b").isNotNull() & arr_col.isNotNull(), sl)
+
+
+def _tomb_with_rid(tomb: DataFrame, seg_size: int, w: int) -> DataFrame:
+    """Route each tombstone to its doc's range task (the docID
+    invariant: doc_id = seg_id * seg_size + local)."""
+    return tomb.withColumn(
+        "_rid",
+        F.floor((F.col("doc_id") % F.lit(seg_size)) / F.lit(w)).cast("long"),
+    )
+
+
+def _apply_range_split(
+    joined: DataFrame, spark, r: int, w: int, want_pos: bool
+) -> DataFrame:
+    """Replicate each segment's posting rows across R doc-id ranges and
+    slice every stream to the range's block interval JVM-side, so a
+    range task ships and decodes only its own blocks' bytes (total
+    shuffled bytes stay ≈ the unsplit stream — each block lands in
+    exactly one range, plus one shared boundary block per cut)."""
+    out = _with_range_spans(joined, spark, r, w)
+    _span = _range_sliced_bin
     out = out.withColumn("_ids_sl", _span(F.col("doc_ids_bin"), F.col("block_id_offs")))
     drop = ["_ids_sl", "_b", "block_first_ids", "block_id_offs"]
     if want_pos:
@@ -615,14 +648,7 @@ def _apply_range_split(
             out.withColumn("_tfs_sl", _span(F.col("tfs_bin"), F.col("block_tf_offs")))
             .withColumn("_pos_sl", _span(F.col("pos_bin"), F.col("block_pos_offs")))
             .withColumn(
-                "_po_sl",
-                F.when(
-                    F.col("_b").isNotNull() & F.col("block_pos_offs").isNotNull(),
-                    F.transform(
-                        F.slice(F.col("block_pos_offs"), blo + 1, bhi - blo),
-                        lambda x: x - F.element_at(F.col("block_pos_offs"), blo + 1),
-                    ),
-                ),
+                "_po_sl", _range_sliced_arr(F.col("block_pos_offs"), rebase=True)
             )
             .withColumn("tfs_bin", F.col("_tfs_sl"))
             .withColumn("pos_bin", F.col("_pos_sl"))
@@ -771,14 +797,8 @@ def _eval_token_tree(cat: IndexCatalog, node: A.Node) -> DataFrame:
 
     tomb_keyed = tomb.select("seg_id", "doc_id")
     if range_plan is not None:
-        # route each tombstone to its doc's range task (the docID
-        # invariant: doc_id = seg_id * seg_size + local)
-        seg_size = cat.corpus_stats().seg_size
-        tomb_keyed = tomb_keyed.withColumn(
-            "_rid",
-            F.floor(
-                (F.col("doc_id") % F.lit(seg_size)) / F.lit(range_plan[1])
-            ).cast("long"),
+        tomb_keyed = _tomb_with_rid(
+            tomb_keyed, cat.corpus_stats().seg_size, range_plan[1]
         )
     return (
         joined.groupBy(*keys)
