@@ -142,8 +142,13 @@ for k in Q:
     assert post_off[k][1] == post_auto[k][1] == pre[k][1], (
         k, pre[k][1], post_off[k][1], post_auto[k][1]
     )
-print("identity OK (row counts equal pre-merge / post-off / post-auto)")
-for k in Q:
+for k in BQ:
+    # BM25: full (doc_id, score) float identity, not just counts
+    assert post_off[k][1] == post_auto[k][1] == pre[k][1], (
+        k, pre[k][1], post_off[k][1], post_auto[k][1]
+    )
+print("identity OK (pre-merge / post-off / post-auto; BM25 float-identical)")
+for k in list(Q) + list(BQ):
     print(
         f"{k}: pre {pre[k][0]:.2f} s | post-merge off {post_off[k][0]:.2f} s"
         f" | post-merge auto-split {post_auto[k][0]:.2f} s"
