@@ -170,7 +170,17 @@ def test_range_split_gate(spark, split_index, monkeypatch):
             )
 
     monkeypatch.delenv("YAII_RANGE_SPLIT", raising=False)
-    # 1 merged segment on a 4-core session → R=4, W=seg_size/4; at
-    # cluster scale (n_segs >= defaultParallelism) R==1 → None, so the
-    # default per-segment path is untouched where it already saturates
-    assert _range_split_plan(_Fake()) == (4, 1 << 18)
+    # 1 merged segment on a 4-core session → R = WAVES×4 = 16 tasks
+    # (4 waves of finer tasks — straggler packing, see
+    # executor.RANGE_SPLIT_WAVES), W=seg_size/16
+    assert _range_split_plan(_Fake()) == (16, 1 << 16)
+
+    class _FakeAtScale(_Fake):
+        def corpus_stats(self):
+            return CorpusStats(
+                n_docs=1 << 30, avgdl=10.0, k1=1.2, b=0.75, seg_size=1 << 16
+            )
+
+    # cluster scale: segments (2^14) >= cores → None; the default
+    # per-segment path is untouched where it already saturates
+    assert _range_split_plan(_FakeAtScale()) is None

@@ -528,6 +528,15 @@ def _apply_phrase_slicing(post: DataFrame, spark, slice_plan) -> DataFrame:
 #: per-range boundary-block decode overhead outweighs the parallelism
 RANGE_SPLIT_MIN_BLOCKS = 4
 
+#: target task waves when the split engages: R is sized for
+#: WAVES × defaultParallelism total (seg, range) tasks, not one task
+#: per core — the 1M merged-index probe measured dense slop=2 at
+#: 11.2 s with exactly-one-wave tasks vs 3.5-4.8 s at 4 waves (finer
+#: tasks pack stragglers; candidate skew between doc-id ranges is
+#: invisible to the planner), while 16 waves regressed to 10.5 s as
+#: per-row replication overhead caught up
+RANGE_SPLIT_WAVES = 4
+
 
 def _range_split_plan(cat: IndexCatalog) -> tuple[int, int] | None:
     """Doc-id-range fan-out for merged / few-segment indexes. The
@@ -545,8 +554,10 @@ def _range_split_plan(cat: IndexCatalog) -> tuple[int, int] | None:
     Driver-side and job-free — n_segs comes from corpus_stats geometry
     (an underfull-append underestimate only raises R, which is benign).
     Returns (R, W), or None for the default per-segment path — which is
-    what a 1000-executor cluster over 10^6 segments always takes, since
-    there R==1. ``YAII_RANGE_SPLIT=0`` disables; an integer forces R
+    what a 1000-executor cluster over 10^6 segments always takes (the
+    split never engages once segments outnumber cores). R is sized for
+    RANGE_SPLIT_WAVES waves of tasks, not one task per core — see the
+    constant's note. ``YAII_RANGE_SPLIT=0`` disables; an integer forces R
     (tests use this to exercise the path on tiny fixtures)."""
     env = os.environ.get("YAII_RANGE_SPLIT", "").strip().lower()
     if env in ("0", "off", "false"):
@@ -556,7 +567,10 @@ def _range_split_plan(cat: IndexCatalog) -> tuple[int, int] | None:
     if env.isdigit():
         r = int(env)
     else:
-        r = cat.spark.sparkContext.defaultParallelism // n_segs
+        par = cat.spark.sparkContext.defaultParallelism
+        if n_segs >= par:
+            return None
+        r = -(-RANGE_SPLIT_WAVES * par // n_segs)
         avg = -(-cs.n_docs // n_segs)
         r = min(r, -(-avg // (RANGE_SPLIT_MIN_BLOCKS * cs.block_size)))
     if r < 2:
