@@ -462,6 +462,85 @@ def test_ann_index_partition_pruning(spark, emb, tmp_path):
     assert [(r.vec_id, r.cosine) for r in got2.collect()] == fly2
 
 
+def test_ivf_exact_pruned(spark, emb, tmp_path):
+    """ivf_ann_topk_exact == brute-force cosine_topk (rank AND value)
+    for every probed query, on both the on-the-fly and the
+    materialized-index paths — while actually pruning cells (the
+    report says how many). The triangle-inequality bound makes
+    partial probing exact, so the brute-force result is a strict
+    oracle, not a recall target."""
+    from yaii_spark.ops.similarity import (
+        cosine_topk, ivf_ann_topk_exact, ivf_cell_stats, ivf_train,
+        read_ann_index, read_ivf_cell_stats, write_ann_index,
+    )
+
+    pool = emb.filter("vec_id > 0")
+    cent = ivf_train(pool, n_cells=8, sample_rows=512)
+    stats = ivf_cell_stats(pool, cent)
+    q_rows = emb.filter("vec_id in (0, 7, 23)").collect()
+    for row in q_rows:
+        qv = [float(x) for x in row.embedding]
+        exact = [(r.vec_id, r.cosine) for r in cosine_topk(pool, qv, k=7).collect()]
+        rep = {}
+        got = [(r.vec_id, r.cosine)
+               for r in ivf_ann_topk_exact(
+                   pool, qv, cent, k=7, n_probe=2, cell_stats=stats, report=rep
+               ).collect()]
+        assert got == exact
+        assert rep["probed"] + rep["pruned"] == rep["n_cells"]
+        # near-orthogonal high-dim fixture: cell radii ~82-85 deg, so
+        # bounds can't cut — the operator must degrade to a (still
+        # exact) full probe, never to a wrong answer
+
+    # pruning power on data where geometry permits: 8 tight clusters
+    # (~8 deg radius), query inside one of them → most cells must fall
+    # below the kth-score bound
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((8, 16))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for i in range(400):
+        c = centers[i % 8] + 0.1 * rng.standard_normal(16)
+        rows.append((i + 1, [float(x) for x in c]))
+    clustered = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    ccent = ivf_train(clustered, n_cells=8, sample_rows=400)
+    cstats = ivf_cell_stats(clustered, ccent)
+    qv_c = [float(x) for x in centers[3]]
+    rep2 = {}
+    got_c = [(r.vec_id, r.cosine)
+             for r in ivf_ann_topk_exact(
+                 clustered, qv_c, ccent, k=7, n_probe=2, cell_stats=cstats,
+                 report=rep2,
+             ).collect()]
+    exact_c = [(r.vec_id, r.cosine)
+               for r in cosine_topk(clustered, qv_c, k=7).collect()]
+    assert got_c == exact_c
+    assert rep2["pruned"] > 0  # the bound actually cut cells here
+
+    # materialized path: radii come from the index's _ivf_cell_stats
+    # side table; probe filters stay partition-pruned
+    ivf_dir = str(tmp_path / "ann_ivf_exact")
+    dim = len(q_rows[0].embedding)
+    write_ann_index(pool, ivf_dir, dim=dim, method="ivf", centroids=cent)
+    t = read_ann_index(spark, ivf_dir)
+    st = read_ivf_cell_stats(spark, ivf_dir)
+    qv0 = [float(x) for x in q_rows[0].embedding]
+    exact0 = [(r.vec_id, r.cosine) for r in cosine_topk(pool, qv0, k=7).collect()]
+    got0 = ivf_ann_topk_exact(t, qv0, cent, k=7, n_probe=2, cell_stats=st)
+    assert [(r.vec_id, r.cosine) for r in got0.collect()] == exact0
+
+    # k larger than the corpus: every row comes back, still exact
+    tiny = pool.filter("vec_id <= 30")
+    tiny_stats = ivf_cell_stats(tiny, cent)
+    all_exact = [(r.vec_id, r.cosine)
+                 for r in cosine_topk(tiny, qv0, k=1000).collect()]
+    all_got = [(r.vec_id, r.cosine)
+               for r in ivf_ann_topk_exact(
+                   tiny, qv0, cent, k=1000, n_probe=2, cell_stats=tiny_stats
+               ).collect()]
+    assert all_got == all_exact
+
+
 def test_connected_components(spark):
     """Near-dup clustering: components == a pure-Python union-find on
     chains (the worst case for plain label propagation — pointer

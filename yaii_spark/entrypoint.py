@@ -520,13 +520,14 @@ def get_ivf_index(spark, sf_dir: str, dim: int, n_cells: int = 8):
     emb = _emb(spark, sf_dir).filter("vec_id > 0")
     cents = S.ivf_train(emb, n_cells=n_cells)
     tag = hashlib.md5(
-        f"{sf_dir}|ann_ivf|{dim}|{n_cells}|v{FORMAT_VERSION}".encode()
+        # |cs: layout gained the _ivf_cell_stats side table (r5)
+        f"{sf_dir}|ann_ivf|{dim}|{n_cells}|v{FORMAT_VERSION}|cs".encode()
     ).hexdigest()[:12]
     out = os.path.join(_CACHE_ROOT, tag)
     marker = out if iceberg_format(spark) else os.path.join(out, "_SUCCESS")
     if not fs_exists(spark, marker):
         S.write_ann_index(emb, out, dim=dim, method="ivf", centroids=cents)
-    return S.read_ann_index(spark, out), cents
+    return S.read_ann_index(spark, out), cents, S.read_ivf_cell_stats(spark, out)
 
 
 def q_ann_ivf_full(spark, sf_dir):
@@ -539,8 +540,26 @@ def q_ann_ivf_full(spark, sf_dir):
     data-derived centroids don't need an SQL restatement)."""
     emb = _emb(spark, sf_dir)
     qv = [float(x) for x in emb.filter("vec_id = 0").collect()[0].embedding]
-    tbl, cents = get_ivf_index(spark, sf_dir, dim=len(qv))
+    tbl, cents, _stats = get_ivf_index(spark, sf_dir, dim=len(qv))
     return S.ivf_ann_topk(tbl, qv, cents, k=5, n_probe=8)
+
+
+def q_ann_ivf_pruned(spark, sf_dir):
+    """EXACT top-k through the cell-PRUNED IVF path
+    (`ivf_ann_topk_exact`): probe the best cells, bound the rest by
+    per-cell angular radius (triangle inequality on the sphere), score
+    only survivors. Rank-identical to brute force BY CONSTRUCTION —
+    the same brute-force SQL oracle as q_ann_ivf_full therefore
+    hash-checks the whole pruned machinery (bounds, two-phase probe,
+    materialized radius table). On this near-orthogonal synthetic
+    corpus the bound rarely cuts (cell radii ~83°), so the value being
+    pinned is exactness-under-pruning, not the cut ratio; pruning
+    power on clustered data is pinned in pytest
+    (test_ivf_exact_pruned)."""
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in emb.filter("vec_id = 0").collect()[0].embedding]
+    tbl, cents, stats = get_ivf_index(spark, sf_dir, dim=len(qv))
+    return S.ivf_ann_topk_exact(tbl, qv, cents, k=5, n_probe=3, cell_stats=stats)
 
 
 def q_embedding_neardup(spark, sf_dir):
@@ -655,6 +674,7 @@ def queries():
         "q_events_by_type": q_events_by_type,
         "q_events_windowed": q_events_windowed,
         "q_token_bool": q_token_bool,
+        "q_ann_ivf_pruned": q_ann_ivf_pruned,
         # boolean retrieval over the inverted index (P2-P7, U1-U3, J1)
         "q_token": _bool_q(lambda: A.token("dup")),
         "q_or": _bool_q(lambda: A.or_(A.token("dup"), A.token("key"))),
@@ -727,6 +747,19 @@ def queries():
         "q_revenue_by_nation": q_revenue_by_nation,
         "q_window_top2_orders": q_window_top2_orders,
     }
+
+
+_IVF_EXACT_SQL = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_dot_product(embedding::DOUBLE[], q.qv)
+             / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+FROM embeddings, q WHERE vec_id > 0
+ORDER BY list_dot_product(embedding::DOUBLE[], q.qv)
+         / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+            * sqrt(list_dot_product(q.qv, q.qv))) DESC, vec_id ASC
+LIMIT 5"""
 
 
 def oracle_sql():
@@ -868,17 +901,11 @@ ORDER BY list_dot_product(embedding::DOUBLE[], q.qv)
             * sqrt(list_dot_product(q.qv, q.qv))) DESC, vec_id ASC
 LIMIT 5""",
         "q_ann_lsh": _ann_lsh_sql(),
-        "q_ann_ivf_full": """
-WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
-SELECT vec_id,
-       round(list_dot_product(embedding::DOUBLE[], q.qv)
-             / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
-                * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
-FROM embeddings, q WHERE vec_id > 0
-ORDER BY list_dot_product(embedding::DOUBLE[], q.qv)
-         / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
-            * sqrt(list_dot_product(q.qv, q.qv))) DESC, vec_id ASC
-LIMIT 5""",
+        # brute-force exact top-5 — a value oracle for q_ann_ivf_full
+        # (full probe == exact) AND q_ann_ivf_pruned (bound-pruned
+        # partial probe is exact by construction)
+        "q_ann_ivf_full": _IVF_EXACT_SQL,
+        "q_ann_ivf_pruned": _IVF_EXACT_SQL,
         "q_embedding_neardup": """
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 100)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -16,6 +16,8 @@
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
@@ -96,20 +98,47 @@ def ivf_train(
 
 
 def with_ivf_cell(
-    emb: DataFrame, centroids: np.ndarray, vec_col: str = "embedding"
+    emb: DataFrame, centroids: np.ndarray, vec_col: str = "embedding",
+    with_dot: bool = False,
 ) -> DataFrame:
     """Add the IVF cell id (argmax cosine vs centroids) — one
     vectorized matmul per Arrow batch. At scale, write the table
-    partitioned by this column so probes become partition pruning."""
+    partitioned by this column so probes become partition pruning.
+
+    ``with_dot=True`` additionally emits ``_cent_dot`` — the vector's
+    cosine to its own centroid — which `ivf_cell_stats` aggregates
+    into the per-cell angular radius the exact-pruned query needs."""
     cent = np.ascontiguousarray(centroids, dtype=np.float64)
 
-    @F.pandas_udf(T.IntegerType())
-    def cell(vs: pd.Series) -> pd.Series:
+    @F.pandas_udf("struct<cell: int, dot: double>")
+    def cell_dot(vs: pd.Series) -> pd.DataFrame:
         X = np.array(list(vs), dtype=np.float64)
         X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-        return pd.Series((X @ cent.T).argmax(axis=1).astype(np.int32), index=vs.index)
+        d = X @ cent.T
+        a = d.argmax(axis=1)
+        return pd.DataFrame(
+            {"cell": a.astype(np.int32), "dot": d[np.arange(len(a)), a]},
+            index=vs.index,
+        )
 
-    return emb.withColumn("ivf_cell", cell(F.col(vec_col)))
+    out = emb.withColumn("_cd", cell_dot(F.col(vec_col)))
+    out = out.withColumn("ivf_cell", F.col("_cd.cell"))
+    if with_dot:
+        out = out.withColumn("_cent_dot", F.col("_cd.dot"))
+    return out.drop("_cd")
+
+
+def ivf_cell_stats(
+    emb: DataFrame, centroids: np.ndarray, vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-cell pruning statistics: ``(ivf_cell, min_dot)`` where
+    min_dot is the smallest member↔own-centroid cosine — i.e. the
+    cell's angular radius r_c = arccos(min_dot). One n_cells-row
+    aggregate (map-side combined; the same single corpus pass the
+    cell-partitioned write already makes, which is why
+    `write_ann_index` materializes this table alongside the index)."""
+    celled = with_ivf_cell(emb, centroids, vec_col, with_dot=True)
+    return celled.groupBy("ivf_cell").agg(F.min("_cent_dot").alias("min_dot"))
 
 
 def write_ann_index(
@@ -138,10 +167,17 @@ def write_ann_index(
     elif method == "ivf":
         if centroids is None:
             raise ValueError("method='ivf' needs trained centroids")
-        df = with_ivf_cell(emb, centroids, vec_col)
+        df = with_ivf_cell(emb, centroids, vec_col, with_dot=True)
         write_table(
             df.select(id_col, vec_col, "ivf_cell"), out_dir,
             partition_by=["ivf_cell"],
+        )
+        # per-cell angular radii for the exact-pruned query — n_cells
+        # tiny rows; the leading underscore keeps the subdirectory
+        # invisible to the main table's parquet reader
+        write_table(
+            df.groupBy("ivf_cell").agg(F.min("_cent_dot").alias("min_dot")),
+            os.path.join(out_dir, "_ivf_cell_stats"),
         )
     else:
         raise ValueError(f"unknown ANN index method: {method!r}")
@@ -152,6 +188,14 @@ def read_ann_index(spark, out_dir: str) -> DataFrame:
     from yaii_spark.storage import read_table
 
     return read_table(spark, out_dir)
+
+
+def read_ivf_cell_stats(spark, out_dir: str) -> DataFrame:
+    """The per-cell radius table a `write_ann_index(method='ivf')`
+    materializes alongside the index."""
+    from yaii_spark.storage import read_table
+
+    return read_table(spark, os.path.join(out_dir, "_ivf_cell_stats"))
 
 
 def ivf_ann_topk(
@@ -176,6 +220,81 @@ def ivf_ann_topk(
     e = cand.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
     scored = e.select(F.col(id_col), F.round(_cos_against(query_vec), 6).alias("cosine"))
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
+def ivf_ann_topk_exact(
+    emb: DataFrame, query_vec: list[float], centroids: np.ndarray,
+    k: int = 10, n_probe: int = 4, cell_stats: DataFrame | None = None,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    report: dict | None = None,
+) -> DataFrame:
+    """EXACT top-k with IVF cell pruning — rank-identical to
+    `cosine_topk`, but reads only the cells that can matter.
+
+    Spherical triangle inequality: for any member x of cell c,
+    angle(q, x) >= angle(q, mu_c) - r_c where r_c = arccos(min member
+    dot) is the cell's angular radius (materialized per cell by
+    `write_ann_index`, n_cells tiny rows). So
+    ub_c = cos(max(0, theta_qc - r_c)) upper-bounds every member's
+    cosine. Two partition-pruned jobs: (1) score the n_probe cells
+    with the highest bounds and take their kth score, (2) score the
+    remaining cells whose bound survives it (none, typically), final
+    top-k over both. Pruning honors the output's 6-decimal rounding:
+    a cell is dropped only when ub_c < kth_rounded - 5e-7, so no
+    pruned vector could round into a tie with the kth result. A query
+    near a cell boundary degrades gracefully toward more probes, never
+    toward a wrong answer — the recall/latency knob of classic IVF
+    without the recall loss, at the price of storing one radius per
+    cell and bounded-collecting k rows between the two jobs."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    celled = (
+        emb if "ivf_cell" in emb.columns
+        else with_ivf_cell(emb, centroids, vec_col)
+    )
+    if cell_stats is None:
+        cell_stats = ivf_cell_stats(emb, centroids, vec_col)
+    # n_cells rows — bounded by construction, never corpus-sized
+    radii = {int(r["ivf_cell"]): float(r["min_dot"]) for r in cell_stats.collect()}
+    theta_q = np.arccos(np.clip(centroids @ qn, -1.0, 1.0))
+    ub = {
+        c: float(np.cos(max(0.0, theta_q[c] - np.arccos(np.clip(md, -1.0, 1.0)))))
+        + 1e-9  # float slack: the bound must stay an upper bound
+        for c, md in radii.items()
+    }
+    order = sorted(ub, key=lambda c: (-ub[c], c))
+
+    def scored(cells: list[int]):
+        cand = celled.filter(F.col("ivf_cell").isin([int(c) for c in cells]))
+        e = cand.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+        return e.select(
+            F.col(id_col), F.round(_cos_against(query_vec), 6).alias("cosine")
+        )
+
+    probes = order[: max(1, n_probe)]
+    head = (
+        scored(probes)
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+        .collect()
+    )
+    if len(head) >= k:
+        thresh = float(head[-1]["cosine"]) - 5e-7
+        rest = [c for c in order[len(probes):] if ub[c] >= thresh]
+    else:
+        # fewer than k candidates in the best cells: no safe threshold
+        # yet, every remaining non-empty cell stays in play
+        rest = order[len(probes):]
+    if report is not None:
+        report.update(
+            n_cells=len(order), probed=len(probes) + len(rest),
+            pruned=len(order) - len(probes) - len(rest),
+        )
+    return (
+        scored(probes + rest)
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
 
 
 def lsh_ann_topk(
