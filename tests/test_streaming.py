@@ -398,6 +398,62 @@ def test_append_committer_replay_idempotent(spark, tmp_path):
     assert index_size(cat) == 50
 
 
+def test_sink_ledger_pre_r5_backfill(spark, tmp_path):
+    """A pre-r5 sink ledger (no end_id spans) must be backfilled ONCE —
+    the next commit derives its start from the seg_meta scan, rewrites
+    the ledger with contiguous spans, and every later commit takes the
+    1-row-aggregate fast path (no full ledger collect, no seg_meta
+    scan). Also covers the mixed case: rows whose end_id reads back
+    NULL (old parquet file sampled under the new schema) trigger the
+    same one-time rewrite."""
+    from yaii_spark.ops.aggregations import index_size
+    from yaii_spark.storage import IndexCatalog, read_table, write_table
+    from yaii_spark.streaming import make_append_committer
+
+    idx = str(tmp_path / "backfill_idx")
+    commit = make_append_committer(
+        idx, seg_size=16, stored_cols=["url", "text", "lang", "num_attr"]
+    )
+    b1 = gen_pages(spark, 30, include_fixtures=True)
+    b2 = gen_pages(spark, 50, include_fixtures=False).filter(F.col("doc_id") >= 30)
+    commit(b1, 0)
+    commit(b2, 1)
+    # simulate a pre-r5 ledger: drop the spans entirely
+    ledger = f"{idx}/sink_ledger"
+    old = read_table(spark, ledger).select("batch_id", "start_id")
+    rows = [(int(r.batch_id), int(r.start_id)) for r in old.collect()]
+    write_table(
+        spark.createDataFrame(rows, "batch_id long, start_id long"), ledger
+    )
+    b3 = (
+        gen_pages(spark, 70, include_fixtures=False)
+        .filter(F.col("doc_id") >= 50)
+        .withColumn("doc_id", F.col("doc_id") - 50)  # committer re-bases
+    )
+    commit(b3, 2)
+    led = sorted(
+        (int(r.batch_id), int(r.start_id), int(r.end_id))
+        for r in read_table(spark, ledger).collect()
+    )
+    # every row (old AND new) now carries a span; spans are contiguous
+    assert [b for b, _, _ in led] == [0, 1, 2]
+    for (_, s0, e0), (_, s1, _) in zip(led, led[1:]):
+        assert e0 == s1 > s0
+    assert index_size(IndexCatalog(spark, idx)) == 70
+    # a fourth commit under the healed ledger extends it by exactly one
+    # spanned row (append fast path, no rewrite of the old rows)
+    b4 = (
+        gen_pages(spark, 90, include_fixtures=False)
+        .filter(F.col("doc_id") >= 70)
+        .withColumn("doc_id", F.col("doc_id") - 70)
+    )
+    commit(b4, 3)
+    led2 = read_table(spark, ledger)
+    assert led2.count() == 4
+    assert led2.filter(F.col("end_id").isNull()).count() == 0
+    assert index_size(IndexCatalog(spark, idx)) == 90
+
+
 def _ts_rows(spark, idx):
     from yaii_spark.storage import read_table
 

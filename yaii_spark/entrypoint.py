@@ -524,8 +524,19 @@ def get_ivf_index(spark, sf_dir: str, dim: int, n_cells: int = 8):
         f"{sf_dir}|ann_ivf|{dim}|{n_cells}|v{FORMAT_VERSION}|cs".encode()
     ).hexdigest()[:12]
     out = os.path.join(_CACHE_ROOT, tag)
-    marker = out if iceberg_format(spark) else os.path.join(out, "_SUCCESS")
-    if not fs_exists(spark, marker):
+    # the IVF layout is TWO tables (main + _ivf_cell_stats side table,
+    # written in that order) — gate on BOTH markers, so a crash between
+    # the writes leaves a dir that fails the check and rebuilds
+    # (write_table overwrites, so the retry is idempotent) instead of
+    # one that passes it and breaks q_ann_ivf_pruned forever
+    stats_dir = os.path.join(out, "_ivf_cell_stats")
+    if iceberg_format(spark):
+        markers = [out, stats_dir]
+    else:
+        markers = [
+            os.path.join(out, "_SUCCESS"), os.path.join(stats_dir, "_SUCCESS")
+        ]
+    if not all(fs_exists(spark, m) for m in markers):
         S.write_ann_index(emb, out, dim=dim, method="ivf", centroids=cents)
     return S.read_ann_index(spark, out), cents, S.read_ivf_cell_stats(spark, out)
 

@@ -521,10 +521,6 @@ def _fold_term_stats(spark: SparkSession, out_dir: str, new_segs: list[int]) -> 
     On a purge-free index the two paths are value-identical."""
     from yaii_spark.storage import term_stats_bucket_col
 
-    ts_path = os.path.join(out_dir, "term_stats")
-    tmp_path = os.path.join(out_dir, "term_stats_delta_tmp")
-    marker = os.path.join(out_dir, "stats_folding")
-
     delta = (
         _scoped_postings(spark, out_dir, new_segs)
         .groupBy("field", "term")
@@ -532,6 +528,20 @@ def _fold_term_stats(spark: SparkSession, out_dir: str, new_segs: list[int]) -> 
         .withColumn("bucket", term_stats_bucket_col())
         .persist()
     )
+    # the persist is released in the finally: the sink retries failed
+    # batches, and an unpersist skipped by a transient error mid-fold
+    # would pin one copy of the batch's aggregate per attempt for the
+    # session lifetime (caches are not GC-reclaimed)
+    try:
+        _fold_term_stats_body(spark, out_dir, new_segs, delta)
+    finally:
+        delta.unpersist()
+
+
+def _fold_term_stats_body(spark, out_dir, new_segs, delta) -> None:
+    ts_path = os.path.join(out_dir, "term_stats")
+    tmp_path = os.path.join(out_dir, "term_stats_delta_tmp")
+    marker = os.path.join(out_dir, "stats_folding")
     touched = [int(r.bucket) for r in delta.select("bucket").distinct().collect()]
     if touched:
         merged = (
@@ -560,7 +570,6 @@ def _fold_term_stats(spark: SparkSession, out_dir: str, new_segs: list[int]) -> 
         finally:
             if prev is not None:
                 spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    delta.unpersist()
     # ledger rows carry the new segments' corpus-stat contribution —
     # committed in the SAME marker-guarded unit as the bucket overwrite,
     # so corpus stats and the dictionary can never disagree about which
@@ -590,6 +599,7 @@ def build_index(
     max_segments: int | None = None,
     postings_shards: int = 16,
     append: bool = False,
+    _geometry_checked: bool = False,
 ) -> dict:
     """Build (or resume) the inverted index for `pages` under `out_dir`.
 
@@ -621,7 +631,11 @@ def build_index(
     """
     if append and not resume:
         raise ValueError("append=True requires resume=True (checkpoint append)")
-    if append:
+    # _geometry_checked: the streaming committer already validated the
+    # geometry before making the segment range durable — re-checking
+    # here would re-read corpus_stats and re-probe the commit marker on
+    # every micro-batch for the same invariant
+    if append and not _geometry_checked:
         _check_append_geometry(spark, out_dir, seg_size)
     t0 = time.time()
     # a non-resuming build over an existing index dir must not inherit

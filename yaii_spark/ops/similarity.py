@@ -272,12 +272,8 @@ def ivf_ann_topk_exact(
         )
 
     probes = order[: max(1, n_probe)]
-    head = (
-        scored(probes)
-        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
-        .limit(k)
-        .collect()
-    )
+    head_q = scored(probes).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    head = head_q.limit(k).collect()
     if len(head) >= k:
         thresh = float(head[-1]["cosine"]) - 5e-7
         rest = [c for c in order[len(probes):] if ub[c] >= thresh]
@@ -290,11 +286,15 @@ def ivf_ann_topk_exact(
             n_cells=len(order), probed=len(probes) + len(rest),
             pruned=len(order) - len(probes) - len(rest),
         )
-    return (
-        scored(probes + rest)
-        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
-        .limit(k)
-    )
+    # final top-k over head ∪ rest WITHOUT rescanning the probed cells
+    # (they dominate the scan on the intended workload): the collected
+    # head is exact — any probe-cell vector outside it is already beaten
+    # by k better ones under the same (cosine desc, id asc) total order,
+    # and len(head) < k means head holds EVERY probe-cell candidate.
+    # Doubles round-trip the driver exactly, so values stay identical.
+    head_df = emb.sparkSession.createDataFrame(head, schema=head_q.schema)
+    out = head_df.unionByName(scored(rest)) if rest else head_df
+    return out.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
 
 
 def lsh_ann_topk(

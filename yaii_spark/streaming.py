@@ -300,53 +300,64 @@ def make_append_committer(index_dir: str, seg_size: int = 1 << 20, **build_kwarg
         batch_df = batch_df.persist()
         ledger = f"{index_dir}/sink_ledger"
         start = None
-        led_rows = []
-        if fs_exists(sp, ledger):
-            led_rows = read_table(sp, ledger).collect()  # tiny: 1 row/batch
-            mine = [r for r in led_rows if int(r.batch_id) == int(batch_id)]
+        # the ledger grows one row per batch forever — at the design
+        # point (~10^6 appended ranges) a full collect per commit would
+        # be O(#batches) driver work/heap on the hot path, so every
+        # per-batch read is a pruned filter or a 1-row aggregate; the
+        # only full collect left is the ONE-TIME pre-r5 span backfill
+        led = read_table(sp, ledger) if fs_exists(sp, ledger) else None
+        if led is not None:
+            mine = (
+                led.filter(F.col("batch_id") == int(batch_id)).collect()
+            )  # ≤1 row
             if mine:  # replay: reuse the original range
                 start = int(mine[0].start_id)
         if start is None:
             # the batch's row count pins its segment span (end_id), so
-            # the NEXT free range comes straight off the ledger — a
-            # 1-row-per-batch table — instead of a per-batch max-scan
-            # over the ever-growing seg_meta table (r5: that scan was
-            # O(#segments) per commit). Invariant: the sink owns the
-            # index's append lifecycle — every appended range is
-            # ledgered here. Pre-r5 ledger rows lack end_id → fall back
-            # to the seg_meta scan until this commit rewrites the
-            # (tiny) ledger with spans.
+            # the NEXT free range is ONE 1-row aggregate off the ledger
+            # — never a per-batch max-scan over the ever-growing
+            # seg_meta table (r5: that scan was O(#segments) per
+            # commit) and never a full ledger collect (O(#batches)
+            # driver heap). Invariant: the sink owns the index's append
+            # lifecycle — every appended range is ledgered here. Pre-r5
+            # ledger rows lack end_id → fall back to the seg_meta scan
+            # and backfill spans once.
             n_rows = batch_df.count()
-            ends = [
-                int(r.end_id)
-                for r in led_rows
-                if "end_id" in r.__fields__ and r.end_id is not None
-            ]
-            if led_rows and len(ends) == len(led_rows):
-                start = max(ends)
-            elif IndexCatalog(sp, index_dir).exists():
-                mx = (
-                    read_table(sp, f"{index_dir}/seg_meta")
-                    .agg(F.max(F.col("seg_id").cast("long")))
-                    .collect()[0][0]
-                )
-                start = (int(mx) + 1) * seg_size
-            else:
-                start = 0
+            complete = False
+            if led is not None and "end_id" in led.columns:
+                agg = led.agg(
+                    F.count("*").alias("n"),
+                    F.count("end_id").alias("n_span"),
+                    F.max("end_id").alias("mx"),
+                ).collect()[0]  # 1 row
+                if int(agg.n) > 0 and int(agg.n) == int(agg.n_span):
+                    complete = True
+                    start = int(agg.mx)
+            if not complete:
+                if IndexCatalog(sp, index_dir).exists():
+                    mx = (
+                        read_table(sp, f"{index_dir}/seg_meta")
+                        .agg(F.max(F.col("seg_id").cast("long")))
+                        .collect()[0][0]
+                    )
+                    start = (int(mx) + 1) * seg_size
+                else:
+                    start = 0
             n_segs = max(1, -(-n_rows // seg_size))  # ceil
             end = start + n_segs * seg_size
             # durable BEFORE any index write — the range assignment must
             # survive a crash mid-build so the replay lands on it. A
-            # pre-r5 ledger (no end_id column) is rewritten whole — it
-            # is tiny, and a parquet dir with mixed schemas would read
-            # back whichever file's schema gets sampled.
+            # pre-r5 ledger (missing end_id, wholly or on sampled-schema
+            # stragglers) is rewritten whole — the ONE-TIME full collect;
+            # mixed-schema parquet dirs would otherwise read back
+            # whichever file's schema gets sampled.
             led_schema = "batch_id long, start_id long, end_id long"
-            if led_rows and "end_id" not in led_rows[0].__fields__:
+            if led is not None and not complete:
                 # backfill spans so the fast path engages from now on:
                 # each old range ends where the next begins (ranges are
                 # allocated contiguously), the last at this batch's
                 # scan-derived start
-                old = sorted(led_rows, key=lambda r: int(r.start_id))
+                old = sorted(led.collect(), key=lambda r: int(r.start_id))
                 nexts = [int(r.start_id) for r in old[1:]] + [int(start)]
                 rows = [
                     (int(r.batch_id), int(r.start_id), e)
@@ -359,12 +370,17 @@ def make_append_committer(index_dir: str, seg_size: int = 1 << 20, **build_kwarg
                         [(int(batch_id), int(start), int(end))], led_schema
                     ),
                     ledger,
-                    mode="append" if fs_exists(sp, ledger) else "overwrite",
+                    mode="append" if led is not None else "overwrite",
                 )
         pages = assign_dense_ids(batch_df, start)
         try:
             build_index(
-                sp, pages, index_dir, seg_size=seg_size, append=True, **build_kwargs
+                sp, pages, index_dir, seg_size=seg_size, append=True,
+                # the committer validated geometry above, before the
+                # range became durable — skip the duplicate per-batch
+                # corpus_stats read inside build_index
+                _geometry_checked=True,
+                **build_kwargs,
             )
         finally:
             batch_df.unpersist()
