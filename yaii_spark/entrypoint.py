@@ -339,6 +339,29 @@ def q_token_bool(spark, sf_dir):
     return execute_boolean(cat, A.and_(A.token("dup"), A.token(True, "is_en")))
 
 
+def q_vocab_top_terms(spark, sf_dir):
+    """Dictionary-level value check: top-20 'text'-field terms by
+    document frequency, read STRAIGHT from the index's
+    bucket-partitioned term_stats table. Until now the dictionary was
+    only indirectly oracle-checked (df through BM25 idf, membership
+    through boolean queries); this pins (term, df, cf) themselves
+    against a first-principles SQL recount of the corpus — any
+    build/fold/merge bug that corrupts stats without breaking a scored
+    query surfaces here. Ordered (df desc, term asc): total, since
+    terms are unique."""
+    ts = get_index(spark, sf_dir).term_stats()
+    return (
+        ts.filter(F.col("field") == "text")
+        .select(
+            "term",
+            F.col("df").cast("long").alias("df"),
+            F.col("cf").cast("long").alias("cf"),
+        )
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(20)
+    )
+
+
 def q_last(spark, sf_dir):
     return agg_last(get_index(spark, sf_dir), "n_chars")
 
@@ -686,6 +709,7 @@ def queries():
         "q_events_windowed": q_events_windowed,
         "q_token_bool": q_token_bool,
         "q_ann_ivf_pruned": q_ann_ivf_pruned,
+        "q_vocab_top_terms": q_vocab_top_terms,
         # boolean retrieval over the inverted index (P2-P7, U1-U3, J1)
         "q_token": _bool_q(lambda: A.token("dup")),
         "q_or": _bool_q(lambda: A.or_(A.token("dup"), A.token("key"))),
@@ -828,6 +852,18 @@ def oracle_sql():
         # is_en boolean (lang = 'en'), AND a posting-list token
         "q_token_bool": f"WITH {_TOK_CTE} SELECT t.doc_id FROM tok t JOIN documents d USING (doc_id) "
         f"WHERE {_contains_sql('dup')} AND (d.lang = 'en') = true",
+        # first-principles recount of the dictionary itself: df =
+        # distinct docs containing the term, cf = total occurrences,
+        # over the same corpus-parity tokenization as the BM25 oracles
+        # (which already prove tf-exactness of this split). '' is NOT
+        # filtered: JS-split semantics yield an empty token on
+        # empty/edge inputs in BOTH engines.
+        "q_vocab_top_terms": f"""
+WITH {_TOK_CTE},
+t AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+s AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS cf
+      FROM t GROUP BY term)
+SELECT term, df, cf FROM s ORDER BY df DESC, term ASC LIMIT 20""",
         "q_sort_limit": "SELECT doc_id, n_chars FROM documents ORDER BY n_chars ASC, doc_id ASC LIMIT 10",
         "q_bm25_rare": _bm25_sql(["dup"], 10, "or"),
         "q_bm25_mixed": _bm25_sql(["dup", "batch"], 10, "or"),
