@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 Thin wrapper over yaii_spark.entrypoint — the PySpark-native
-inverted-index + BM25 engine (see SURVEY.md). All 55 queries() entries
+inverted-index + BM25 engine (see SURVEY.md). All 56 queries() entries
 have a matching oracle_sql() DuckDB statement. Highlights by round:
 r2 q_simhash (md5-family bit-sign sums restated in SQL) and q_ann_lsh
 (hyperplane constants embedded as SQL literals); r3 q_ts_range
@@ -21,14 +21,17 @@ q_ann_ivf_pruned (cell-PRUNED IVF that stays EXACT via per-cell
 angular-radius bounds — the same brute-force SQL oracles the pruned
 two-phase probe), and q_vocab_top_terms (the term dictionary ITSELF —
 top-20 terms by df straight from the bucket-partitioned term_stats
-table vs a first-principles SQL recount of (term, df, cf)).
+table vs a first-principles SQL recount of (term, df, cf)), and
+q_snippets (highlighting: ±3-token context around the first phrase
+match, index-driven match + stored-field re-analysis, oracle via
+list_position over zipped adjacent-token pairs).
 
 The driver's recorded-correctness artifact caps at 50 queries per
 round; queries() is head-rotated each round (entrypoint.queries
 docstring) so every registered entry lands in a recorded artifact —
 r5 leads with q_events_by_type / q_events_windowed (the two entries
 CORRECTNESS_r04.json missed) and the new q_token_bool /
-q_ann_ivf_pruned / q_vocab_top_terms.
+q_ann_ivf_pruned / q_vocab_top_terms / q_snippets.
 """
 
 from __future__ import annotations

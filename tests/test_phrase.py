@@ -297,3 +297,37 @@ def test_phrase_slicing_reduces_shipped_bytes(spark, work_dir):
     assert got == hits
     # slop over the sliced path too
     assert ids(execute_boolean(cat, A.phrase(["zzdense", "qqrare"], slop=2))) == hits
+
+
+def test_snippets_window_and_first_match(phrase_index):
+    """Highlighting: window clamps at both text edges, FIRST match
+    wins when the phrase repeats, and non-matching docs are absent.
+    Expected strings derived by hand from PHRASE_DOCS."""
+    from yaii_spark.queries.highlight import snippets
+
+    got = {
+        r.doc_id: r.snippet
+        for r in snippets(phrase_index, ["alpha", "beta"], window=1).collect()
+    }
+    # adjacent "alpha beta": doc 0 at pos 0, doc 1 at pos 1; the rest
+    # (gap in 4, reversed in 2/5, stopword between in 6) don't match
+    assert got == {0: "alpha beta gamma", 1: "beta alpha beta gamma"}
+    got2 = {
+        r.doc_id: r.snippet
+        for r in snippets(phrase_index, ["beta"], window=1).collect()
+    }
+    # single-term phrase: first occurrence, ±1 token, edge-clamped
+    assert got2 == {
+        0: "alpha beta gamma",
+        1: "beta alpha",          # match at pos 0: left edge clamps
+        2: "gamma beta",          # match at end: right edge clamps
+        4: "y beta",
+        5: "beta alpha",
+        6: "the beta",
+    }
+    # window larger than the doc returns the whole token stream
+    got3 = {
+        r.doc_id: r.snippet
+        for r in snippets(phrase_index, ["epsilon"], window=50).collect()
+    }
+    assert got3 == {7: "delta epsilon"}

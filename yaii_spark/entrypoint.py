@@ -362,6 +362,18 @@ def q_vocab_top_terms(spark, sf_dir):
     )
 
 
+def q_snippets(spark, sf_dir):
+    """Highlighting: every doc matching the phrase ["value","table"]
+    with the ±3-token context around the FIRST match, re-analyzed from
+    the stored text (Lucene-UnifiedHighlighter design — the index
+    proves the match, the stored field yields the snippet). The oracle
+    restates first-match location via list_position over zipped
+    adjacent-token pairs and slices the same window."""
+    from yaii_spark.queries.highlight import snippets
+
+    return snippets(get_index(spark, sf_dir), ["value", "table"], window=3)
+
+
 def q_last(spark, sf_dir):
     return agg_last(get_index(spark, sf_dir), "n_chars")
 
@@ -710,6 +722,7 @@ def queries():
         "q_token_bool": q_token_bool,
         "q_ann_ivf_pruned": q_ann_ivf_pruned,
         "q_vocab_top_terms": q_vocab_top_terms,
+        "q_snippets": q_snippets,
         # boolean retrieval over the inverted index (P2-P7, U1-U3, J1)
         "q_token": _bool_q(lambda: A.token("dup")),
         "q_or": _bool_q(lambda: A.or_(A.token("dup"), A.token("key"))),
@@ -864,6 +877,18 @@ t AS (SELECT doc_id, unnest(toks) AS term FROM tok),
 s AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS cf
       FROM t GROUP BY term)
 SELECT term, df, cf FROM s ORDER BY df DESC, term ASC LIMIT 20""",
+        # first adjacent-pair match located via list_position over
+        # zip(toks, toks[2:]); slice is 1-based inclusive — start
+        # max(1, i-3), end min(len, i+1+3) — exactly the engine's
+        # 0-based [max(0,i0-3) : i0+2+3) window
+        "q_snippets": f"""
+WITH {_TOK_CTE},
+m AS (SELECT doc_id, toks,
+             list_position(list_zip(toks, toks[2:]), ('value', 'table')) AS i
+      FROM tok)
+SELECT doc_id,
+       array_to_string(toks[greatest(1, i-3) : least(len(toks), i+1+3)], ' ') AS snippet
+FROM m WHERE i IS NOT NULL AND i > 0""",
         "q_sort_limit": "SELECT doc_id, n_chars FROM documents ORDER BY n_chars ASC, doc_id ASC LIMIT 10",
         "q_bm25_rare": _bm25_sql(["dup"], 10, "or"),
         "q_bm25_mixed": _bm25_sql(["dup", "batch"], 10, "or"),
