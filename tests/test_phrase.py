@@ -331,3 +331,39 @@ def test_snippets_window_and_first_match(phrase_index):
         for r in snippets(phrase_index, ["epsilon"], window=50).collect()
     }
     assert got3 == {7: "delta epsilon"}
+
+
+def test_prefix_successor_bounds():
+    """successor(p) is the least string above every p-prefixed string:
+    rightmost bump + truncate, surrogate gap skipped, all-U+10FFFF
+    unbounded."""
+    from yaii_spark.queries.ast import _prefix_successor as succ
+
+    assert succ("ab") == "ac"
+    assert succ("a\U0010FFFF") == "b"
+    assert succ("\U0010FFFF") is None
+    assert succ("x퟿") == "x"  # skip the surrogate range
+    # interval classification is exact even for U+10FFFF-bearing terms
+    p = "ab"
+    hi = succ(p)
+    for term, is_pref in [
+        ("ab", True), ("abz", True), ("ab\U0010FFFF", True),
+        ("a", False), ("ac", False), ("aa", False), ("b", False),
+    ]:
+        assert (p <= term < hi) == is_pref, term
+
+
+def test_prefix_query(phrase_index, brute):
+    """A.prefix = sugar over the token-range dictionary scan; engine
+    results must equal brute-force startswith over the analyzer's
+    token streams."""
+    for p, field in [("alp", "text"), ("gam", "text"), ("be", "text"),
+                     ("zz", "text"), ("alpha", "text")]:
+        want = {
+            d for d, toks in brute.field_tokens[field].items()
+            if any(t.startswith(p) for t in toks)
+        }
+        got = ids(execute_boolean(phrase_index, A.prefix(p, field)))
+        assert got == want, p
+    with pytest.raises(ValueError):
+        A.prefix("")

@@ -741,6 +741,9 @@ def queries():
         "q_phrase_slop": _bool_q(lambda: A.phrase(["key", "scan"], slop=2)),
         # dictionary-scan predicates (P8: TOKEN_RANGE / TEXT_CONTAINS)
         "q_token_range": _bool_q(lambda: A.token_range("text", "ba", "bz")),
+        # PrefixQuery sugar: exact successor-string interval over the
+        # term-sorted dictionary (ast.prefix)
+        "q_prefix": _bool_q(lambda: A.prefix("val")),
         "q_text_contains": _bool_q(lambda: A.text_contains("ort")),
         # custom analyzer field (F4 mooTokenizer / X1 extension point)
         "q_rule_field": q_rule_field,
@@ -853,6 +856,7 @@ def oracle_sql():
             "len(list_filter(range(i+1, least(i+4, len(toks)+1)), j -> toks[j]='scan')) > 0)) > 0"
         ),
         "q_token_range": ids_where("len(list_filter(toks, t -> t >= 'ba' AND t < 'bz')) > 0"),
+        "q_prefix": ids_where("len(list_filter(toks, t -> starts_with(t, 'val'))) > 0"),
         "q_text_contains": ids_where("len(list_filter(toks, t -> contains(t, 'ort'))) > 0"),
         "q_number_eq": "SELECT doc_id FROM documents WHERE n_chars = 157",
         "q_number_range": "SELECT doc_id FROM documents WHERE n_chars >= 100 AND n_chars < 200",

@@ -186,6 +186,40 @@ def text_contains(needle: str, field_name: str = "text") -> Node:
     return TextContains(field_name, needle)
 
 
+def prefix(p: str, field_name: str = "text") -> Node:
+    """Prefix query (Lucene PrefixQuery surface): all docs with a term
+    starting with `p` — sugar over the dictionary-range scan. The
+    prefix set {t : t startswith p} is EXACTLY the interval
+    [p, successor(p)) under code-point order (the order Spark string
+    comparison, UTF-8 byte order, and the term-sorted posting files
+    all share), where successor(p) increments p's last
+    incrementable code point and drops the tail — no sentinel-char
+    approximation, so even terms containing U+10FFFF classify
+    correctly. Matching is case-sensitive against the dictionary,
+    which is lowercased at index time — pass the prefix lowercased
+    like every token predicate."""
+    if not p:
+        raise ValueError("prefix: empty prefix would match every term")
+    hi = _prefix_successor(p)
+    return TokenRange(field_name, p, hi, True, False)
+
+
+def _prefix_successor(p: str) -> str | None:
+    """Smallest string greater than every string with prefix `p`:
+    bump the rightmost code point that has one (skipping the surrogate
+    gap, which cannot occur in UTF-8 data) and truncate after it. None
+    when p is all U+10FFFF — the prefix set is then unbounded above
+    and the caller uses an open upper end."""
+    for i in range(len(p) - 1, -1, -1):
+        c = ord(p[i])
+        if c < 0x10FFFF:
+            nxt = c + 1
+            if 0xD800 <= nxt <= 0xDFFF:
+                nxt = 0xE000
+            return p[:i] + chr(nxt)
+    return None
+
+
 def and_(*nodes: Node) -> Node:
     return And(list(nodes))
 
