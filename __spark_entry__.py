@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 Thin wrapper over yaii_spark.entrypoint — the PySpark-native
-inverted-index + BM25 engine (see SURVEY.md). All 57 queries() entries
+inverted-index + BM25 engine (see SURVEY.md). All 58 queries() entries
 have a matching oracle_sql() DuckDB statement. Highlights by round:
 r2 q_simhash (md5-family bit-sign sums restated in SQL) and q_ann_lsh
 (hyperplane constants embedded as SQL literals); r3 q_ts_range
@@ -24,9 +24,12 @@ top-20 terms by df straight from the bucket-partitioned term_stats
 table vs a first-principles SQL recount of (term, df, cf)), and
 q_snippets (highlighting: ±3-token context around the first phrase
 match, index-driven match + stored-field re-analysis, oracle via
-list_position over zipped adjacent-token pairs), and q_prefix
+list_position over zipped adjacent-token pairs), q_prefix
 (PrefixQuery sugar — exact successor-string interval over the
-term-sorted dictionary).
+term-sorted dictionary), and q_bm25f (fielded weighted BM25,
+text^1.0 + _all^0.5 over the multi-source index — per-field tf/df/idf
+restated from first principles in SQL, weighted saturation sums under
+the shared text-length norm).
 
 The driver's recorded-correctness artifact caps at 50 queries per
 round; queries() is head-rotated each round (entrypoint.queries

@@ -302,3 +302,73 @@ def test_bm25_pruned_equals_exact(corpus):
             exact = [(r.doc_id, r.score) for r in bm25_topk(cat, q, k=k, prune=False).collect()]
             pruned = [(r.doc_id, r.score) for r in bm25_topk(cat, q, k=k, prune=True).collect()]
             assert exact == pruned, (q, k)
+
+
+def _bm25f_oracle(oracle, terms, weights, k=10, k1=1.2, b=0.75):
+    """Pure-Python fielded BM25: per-field tf/df/idf, weighted
+    saturation sums under the SHARED text-dl norm, summed in the
+    engine's sorted-(field, term) order."""
+    import math
+    from collections import Counter
+
+    uniq = sorted(set(terms))
+    fields = sorted(weights)
+    n = len(oracle.docs)
+    dls = {d: len(t) for d, t in oracle.tokens.items()}
+    avgdl = sum(dls.values()) / n
+    per_field = {}
+    for f in fields:
+        tfs = {d: Counter(t) for d, t in oracle.field_tokens[f].items()}
+        dfs = {t: sum(1 for c in tfs.values() if t in c) for t in uniq}
+        per_field[f] = (tfs, dfs)
+    scored = []
+    for d in sorted(oracle.docs):
+        s, hit = 0.0, False
+        for f in fields:
+            tfs, dfs = per_field[f]
+            for t in uniq:
+                tf = float(tfs[d][t])
+                if tf == 0 or dfs[t] == 0:
+                    continue
+                hit = True
+                idf = math.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
+                s += weights[f] * idf * (
+                    tf / (tf + k1 * (1.0 - b + b * dls[d] / avgdl))
+                )
+        if hit:
+            scored.append((d, s))
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    return scored[:k]
+
+
+def test_bm25f_fielded_topk(corpus):
+    """bm25f_topk == the fielded Python oracle: per-field dictionaries
+    (a stopword scores through 'text' but contributes NOTHING through
+    the filtered '_all'), weighted sums, shared text-dl norm."""
+    from yaii_spark.analyzer import STOPWORDS
+    from yaii_spark.queries.bm25 import bm25f_topk
+
+    cat, oracle = corpus
+    common, rare = _freq_ordered_terms(oracle)
+    stop = next(
+        (
+            t
+            for t in sorted(STOPWORDS - {""})
+            if any(t in toks for toks in oracle.tokens.values())
+        ),
+        None,
+    )
+    assert stop is not None, "fixture corpus lost its stopwords"
+    w = {"text": 1.0, "_all": 0.5}
+    for q in [[common[0]], [common[0], rare[0]], [stop], [common[0], stop]]:
+        got = bm25f_topk(cat, q, w, k=10).collect()
+        want = _bm25f_oracle(oracle, q, w, k=10)
+        assert_topk_equal(got, want)
+    # absent everywhere → empty
+    assert bm25f_topk(cat, ["zzzznotaterm"], w, k=5).count() == 0
+    # single-field weights degenerate to w * bm25_topk over that field
+    got1 = bm25f_topk(cat, [common[0], rare[0]], {"text": 2.0}, k=10).collect()
+    base = bm25_topk(cat, [common[0], rare[0]], k=10).collect()
+    assert [r.doc_id for r in got1] == [r.doc_id for r in base]
+    for g, bse in zip(got1, base):
+        assert abs(g.score - 2.0 * bse.score) <= 1e-9

@@ -35,7 +35,7 @@ from yaii_spark.ops.aggregations import (
     agg_numeric_buckets,
 )
 from yaii_spark.queries import ast as A
-from yaii_spark.queries.bm25 import bm25_topk
+from yaii_spark.queries.bm25 import bm25_topk, bm25f_topk
 from yaii_spark.queries.executor import execute_boolean, search
 from yaii_spark.storage import FORMAT_VERSION, IndexCatalog, read_table
 
@@ -293,6 +293,18 @@ def _bm25_q(terms, k=10, mode="or", prune=False):
         return _round(out, "score")
 
     return run
+
+
+def q_bm25f(spark, sf_dir):
+    """Fielded weighted BM25 (text^1.0, _all^0.5) over the multi-source
+    index (_all = text-filtered + source tokens): 'dup' scores through
+    BOTH fields' dictionaries (different df → different idf per field),
+    'src7' only through _all — the oracle recomputes both fields' tf/df
+    from first principles and sums the weighted saturations under the
+    shared text-length norm."""
+    cat = get_index(spark, sf_dir, variant="multi_all")
+    out = bm25f_topk(cat, ["dup", "src7"], {"text": 1.0, "_all": 0.5}, k=10)
+    return _round(out, "score")
 
 
 def q_sort_limit(spark, sf_dir):
@@ -767,6 +779,7 @@ def queries():
         # per-block decode must stay rank- AND value-identical to the
         # exact SQL restatement (same oracle shape as the exact query)
         "q_bm25_pruned": _bm25_q(["dup", "batch", "small"], prune=True),
+        "q_bm25f": q_bm25f,
         # aggregations (A1-A5)
         "q_count_filtered": q_count_filtered,
         "q_first": q_first,
@@ -898,6 +911,46 @@ FROM m WHERE i IS NOT NULL AND i > 0""",
         "q_bm25_mixed": _bm25_sql(["dup", "batch"], 10, "or"),
         "q_bm25_and": _bm25_sql(["batch", "small"], 10, "and"),
         "q_bm25_pruned": _bm25_sql(["dup", "batch", "small"], 10, "or"),
+        # fielded BM25: per-field tf/df/idf (text standard; _all =
+        # stopword-filtered text + source token), weighted saturation
+        # sums under the SHARED text-length norm (the index's dl
+        # semantics), w_text=1.0, w_all=0.5
+        "q_bm25f": f"""
+WITH {_TOK_CTE},
+dl AS (SELECT doc_id, len(toks)::DOUBLE AS dl FROM tok),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+tf_text AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
+  WHERE term IN ('dup', 'src7') GROUP BY doc_id, term
+),
+alltok AS (
+  SELECT t.doc_id,
+         list_filter(t.toks, x -> NOT list_contains({_stoplist_sql()} || [''], x))
+         || [lower(trim(d.source))] AS toks
+  FROM tok t JOIN documents d USING (doc_id)),
+tf_all AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM alltok)
+  WHERE term IN ('dup', 'src7') GROUP BY doc_id, term
+),
+df_text AS (SELECT term, count(*)::DOUBLE AS df FROM tf_text GROUP BY term),
+df_all AS (SELECT term, count(*)::DOUBLE AS df FROM tf_all GROUP BY term),
+c_text AS (
+  SELECT tf.doc_id,
+         sum( 1.0 * ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+  FROM tf_text tf JOIN df_text df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id),
+c_all AS (
+  SELECT tf.doc_id,
+         sum( 0.5 * ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+  FROM tf_all tf JOIN df_all df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id),
+u AS (SELECT doc_id, sum(s) AS s
+      FROM (SELECT * FROM c_text UNION ALL SELECT * FROM c_all) GROUP BY doc_id)
+SELECT doc_id, round(s, 6) AS score FROM u ORDER BY s DESC, doc_id ASC LIMIT 10""",
         "q_count_filtered": f"WITH {_TOK_CTE} SELECT count(*) AS n_docs FROM tok WHERE {_contains_sql('dup')}",
         "q_first": "SELECT doc_id, n_chars FROM documents ORDER BY n_chars ASC, doc_id ASC LIMIT 1",
         "q_first_multi": "SELECT doc_id, lang, n_chars FROM documents "

@@ -557,3 +557,138 @@ def bm25_topk(
             .applyInPandas(fn2, schema="doc_id long, score double")
         )
     return per_seg.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+
+
+def _score_segment_fielded(
+    pdf: pd.DataFrame,
+    idfs: dict[tuple[str, str], float],
+    weights: dict[str, float],
+    k1: float,
+    b: float,
+    avgdl: float,
+    k: int,
+    block: int,
+    deleted: np.ndarray | None = None,
+) -> pd.DataFrame:
+    """Per-segment weighted multi-field accumulation: one vectorized
+    pass per (field, term) posting list in sorted order (deterministic
+    float sums), combined score = Σ_f w_f · idf_f(t) · sat(tf_f).
+    Norms share the index's single dl (defined from text_col at build
+    time) — per-field length norms would need per-field dl blobs,
+    which the format deliberately doesn't store (SURVEY §1.2)."""
+    n_docs = int(pdf["n_docs"].iloc[0])
+    base = int(pdf["base_doc_id"].iloc[0])
+    dls = varint_decode(pdf["dl_bin"].iloc[0]).astype(np.float64)
+    scores = np.zeros(n_docs, dtype=np.float64)
+    hit = np.zeros(n_docs, dtype=bool)
+    rows = {
+        (f, t): (ids_b, tfs_b)
+        for f, t, ids_b, tfs_b in zip(
+            pdf["field"], pdf["term"], pdf["doc_ids_bin"], pdf["tfs_bin"]
+        )
+    }
+    for key in sorted(rows):
+        if key not in idfs:
+            continue
+        ids_b, tfs_b = rows[key]
+        ids = delta_decode_blocked(ids_b or b"", block).astype(np.int64) - base
+        tfs = varint_decode(tfs_b or b"").astype(np.float64)
+        norm = tfs / (tfs + k1 * (1.0 - b + b * dls[ids] / avgdl))
+        scores[ids] += weights[key[0]] * idfs[key] * norm
+        hit[ids] = True
+    if deleted is not None:
+        hit[deleted - base] = False
+    cand = np.flatnonzero(hit)
+    if cand.size == 0:
+        return _EMPTY()
+    s = scores[cand]
+    if cand.size > k:
+        thresh = np.partition(-s, k - 1)[k - 1]
+        keep = np.flatnonzero(-s <= thresh)
+        cand, s = cand[keep], s[keep]
+    order = np.lexsort((cand, -s))[:k]
+    return pd.DataFrame(
+        {"doc_id": (cand[order] + base).astype(np.int64), "score": s[order]}
+    )
+
+
+def bm25f_topk(
+    cat: IndexCatalog,
+    terms: list[str],
+    weights: dict[str, float],
+    k: int = 10,
+) -> DataFrame:
+    """Weighted multi-field BM25 top-k — fielded retrieval, the shape
+    behind 'title^2 body^1' boosting:
+
+        score(d) = Σ_f w_f · Σ_t idf_f(t) · tf_{f,t} /
+                   (tf_{f,t} + k1·(1 − b + b·dl_d/avgdl))
+
+    Each field scores against its OWN dictionary (df, and therefore
+    idf, are per-field — a term buried in one field but rare in
+    another boosts accordingly); a (field, term) pair absent from that
+    field's dictionary contributes zero. This is the per-field-sum
+    form Lucene/ES `multi_match most_fields` computes, NOT Robertson
+    BM25F proper (which blends tf across fields before saturation —
+    that needs per-field length norms the index format deliberately
+    doesn't store; the shared-text-dl norm is the index's defined
+    semantics, see build_index docstring).
+
+    Disjunctive, exact path (no MaxScore/range-split fan-out — the
+    combined per-(field,term) bounds those optimizations need aren't
+    materialized; at cluster scale segments outnumber executors so the
+    per-segment parallelism is already there). Same per-segment
+    top-k + global TakeOrderedAndProject merge as bm25_topk; combined
+    per-segment top-k is rank-safe because each segment task sees BOTH
+    fields' postings for its segment."""
+    spark = cat.spark
+    stats = cat.corpus_stats()
+    uniq = sorted(set(terms))
+    fields = sorted(weights)
+    tstats = cat.term_stats_for([(f, t) for f in fields for t in uniq])
+    idfs = {
+        (f, t): idf(stats.n_docs, df) for (f, t), (df, _) in tstats.items()
+    }
+    if not idfs:
+        return spark.createDataFrame([], "doc_id long, score double")
+    k1, b, avgdl = stats.k1, stats.b, stats.avgdl
+    block = stats.block_size
+    w = {f: float(weights[f]) for f in fields}
+
+    post = cat.postings(sorted(idfs)).select(
+        "seg_id", "field", "term", "doc_ids_bin", "tfs_bin"
+    )
+    meta = cat.seg_meta().select("seg_id", "n_docs", "base_doc_id", "dl_bin")
+    joined = post.join(meta, "seg_id", "inner")
+    tomb = cat.tombstones()
+
+    if tomb is None:
+
+        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            if pdf.empty:
+                return _EMPTY()
+            return _score_segment_fielded(
+                pdf, idfs, w, k1, b, avgdl, k, block, None
+            )
+
+        per_seg = joined.groupBy("seg_id").applyInPandas(
+            fn, schema="doc_id long, score double"
+        )
+    else:
+
+        def fn2(pdf: pd.DataFrame, tpdf: pd.DataFrame) -> pd.DataFrame:
+            if pdf.empty:
+                return _EMPTY()
+            deleted = (
+                tpdf["doc_id"].to_numpy(dtype=np.int64) if len(tpdf) else None
+            )
+            return _score_segment_fielded(
+                pdf, idfs, w, k1, b, avgdl, k, block, deleted
+            )
+
+        per_seg = (
+            joined.groupBy("seg_id")
+            .cogroup(tomb.select("seg_id", "doc_id").groupBy("seg_id"))
+            .applyInPandas(fn2, schema="doc_id long, score double")
+        )
+    return per_seg.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
