@@ -372,3 +372,34 @@ def test_bm25f_fielded_topk(corpus):
     assert [r.doc_id for r in got1] == [r.doc_id for r in base]
     for g, bse in zip(got1, base):
         assert abs(g.score - 2.0 * bse.score) <= 1e-9
+
+
+def test_more_like_this(corpus):
+    """MLT == Python composition: top-5 tf·idf terms of the source doc
+    (tie term asc), disjunctive BM25 over them, source excluded."""
+    import math
+    from collections import Counter
+
+    from yaii_spark.queries.bm25 import more_like_this
+
+    cat, oracle = corpus
+    doc = 7
+    n = len(oracle.docs)
+    tf = Counter(oracle.tokens[doc])
+    dfs = {
+        t: sum(1 for toks in oracle.tokens.values() if t in toks) for t in tf
+    }
+    ranked = sorted(
+        (
+            (t, tf[t] * math.log(1 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5)))
+            for t in tf
+            if dfs[t] > 0
+        ),
+        key=lambda x: (-x[1], x[0]),
+    )
+    terms = [t for t, _ in ranked[:5]]
+    want = [(d, s) for d, s in oracle.bm25_topk(terms, k=11) if d != doc][:10]
+    got = more_like_this(cat, doc, top_terms=5, k=10).collect()
+    assert_topk_equal(got, want)
+    with pytest.raises(ValueError):
+        more_like_this(cat, 10**9)

@@ -35,7 +35,7 @@ from yaii_spark.ops.aggregations import (
     agg_numeric_buckets,
 )
 from yaii_spark.queries import ast as A
-from yaii_spark.queries.bm25 import bm25_topk, bm25f_topk
+from yaii_spark.queries.bm25 import bm25_topk, bm25f_topk, more_like_this
 from yaii_spark.queries.executor import execute_boolean, search
 from yaii_spark.storage import FORMAT_VERSION, IndexCatalog, read_table
 
@@ -304,6 +304,16 @@ def q_bm25f(spark, sf_dir):
     shared text-length norm."""
     cat = get_index(spark, sf_dir, variant="multi_all")
     out = bm25f_topk(cat, ["dup", "src7"], {"text": 1.0, "_all": 0.5}, k=10)
+    return _round(out, "score")
+
+
+def q_mlt(spark, sf_dir):
+    """More-like-this for doc 42: its top-5 terms by tf·idf (tie: term
+    asc) re-queried as disjunctive BM25, source doc excluded. The
+    oracle recomputes the term selection AND the scoring from first
+    principles, so the whole extract→select→score pipeline is
+    value-checked."""
+    out = more_like_this(get_index(spark, sf_dir), 42, top_terms=5, k=10)
     return _round(out, "score")
 
 
@@ -780,6 +790,7 @@ def queries():
         # exact SQL restatement (same oracle shape as the exact query)
         "q_bm25_pruned": _bm25_q(["dup", "batch", "small"], prune=True),
         "q_bm25f": q_bm25f,
+        "q_mlt": q_mlt,
         # aggregations (A1-A5)
         "q_count_filtered": q_count_filtered,
         "q_first": q_first,
@@ -951,6 +962,32 @@ c_all AS (
 u AS (SELECT doc_id, sum(s) AS s
       FROM (SELECT * FROM c_text UNION ALL SELECT * FROM c_all) GROUP BY doc_id)
 SELECT doc_id, round(s, 6) AS score FROM u ORDER BY s DESC, doc_id ASC LIMIT 10""",
+        # more-like-this: doc 42's top-5 terms by tf·idf (tie term asc)
+        # re-queried as disjunctive BM25, source excluded — term
+        # selection AND scoring restated from first principles
+        "q_mlt": f"""
+WITH {_TOK_CTE},
+dl AS (SELECT doc_id, len(toks)::DOUBLE AS dl FROM tok),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+u AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+srctf AS (SELECT term, count(*)::DOUBLE AS tf FROM u WHERE doc_id = 42 GROUP BY term),
+docdf AS (SELECT u.term, count(DISTINCT u.doc_id)::DOUBLE AS df
+          FROM u JOIN srctf USING (term) GROUP BY u.term),
+sel AS (SELECT s.term
+        FROM srctf s JOIN docdf d USING (term) CROSS JOIN stats
+        ORDER BY s.tf * ln(1 + (stats.n - d.df + 0.5) / (d.df + 0.5)) DESC, s.term ASC
+        LIMIT 5),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM u
+       WHERE term IN (SELECT term FROM sel) GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(s, 6) AS score FROM scores
+WHERE doc_id != 42 ORDER BY s DESC, doc_id ASC LIMIT 10""",
         "q_count_filtered": f"WITH {_TOK_CTE} SELECT count(*) AS n_docs FROM tok WHERE {_contains_sql('dup')}",
         "q_first": "SELECT doc_id, n_chars FROM documents ORDER BY n_chars ASC, doc_id ASC LIMIT 1",
         "q_first_multi": "SELECT doc_id, lang, n_chars FROM documents "

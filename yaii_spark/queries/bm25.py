@@ -692,3 +692,57 @@ def bm25f_topk(
             .applyInPandas(fn2, schema="doc_id long, score double")
         )
     return per_seg.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+
+
+def more_like_this(
+    cat: IndexCatalog,
+    doc_id: int,
+    top_terms: int = 5,
+    k: int = 10,
+    field: str = "text",
+    text_col: str = "text",
+) -> DataFrame:
+    """More-like-this: rank the corpus by BM25 similarity to one
+    document. The query is the doc's `top_terms` terms by tf·idf
+    (ties broken by term asc — a total, reproducible order), extracted
+    by re-analyzing the doc's STORED text (one 1-row lookup) with idfs
+    from the pruned dictionary lookup (bounded by the doc's distinct
+    terms, bucket-partition-pruned); then a standard disjunctive
+    bm25_topk over those terms with the source doc excluded.
+
+    Everything driver-side is bounded by ONE document's size: the text
+    collect is 1 row, the dictionary lookup ≤ |doc| terms. The scoring
+    pass is the existing distributed per-segment scorer."""
+    from collections import Counter
+
+    from yaii_spark.analyzer import tokenize
+
+    rows = (
+        cat.docs()
+        .filter(F.col("doc_id") == int(doc_id))
+        .select(text_col)
+        .collect()
+    )
+    if not rows:
+        raise ValueError(f"more_like_this: doc_id {doc_id} not found")
+    tf = Counter(tokenize(rows[0][0] or ""))
+    stats = cat.corpus_stats()
+    ts = {
+        r.term: int(r.df)
+        for r in cat.term_stats_query(
+            [(field, t) for t in tf]
+        ).collect()  # ≤ |doc| distinct terms
+    }
+    ranked = sorted(
+        ((t, tf[t] * idf(stats.n_docs, ts[t])) for t in tf if t in ts),
+        key=lambda x: (-x[1], x[0]),
+    )
+    terms = [t for t, _ in ranked[: max(1, top_terms)]]
+    if not terms:
+        return cat.spark.createDataFrame([], "doc_id long, score double")
+    out = bm25_topk(cat, terms, k=k + 1, mode="or")
+    return (
+        out.filter(F.col("doc_id") != int(doc_id))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
