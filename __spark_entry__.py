@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 Thin wrapper over yaii_spark.entrypoint — the PySpark-native
-inverted-index + BM25 engine (see SURVEY.md). All 59 queries() entries
+inverted-index + BM25 engine (see SURVEY.md). All 60 queries() entries
 have a matching oracle_sql() DuckDB statement. Highlights by round:
 r2 q_simhash (md5-family bit-sign sums restated in SQL) and q_ann_lsh
 (hyperplane constants embedded as SQL literals); r3 q_ts_range
