@@ -27,9 +27,15 @@ from yaii_spark.indexer import (  # noqa: F401
     delete_docs,
     delete_docs_df,
     merge_segments,
+    refresh_block_bounds,
 )
 from yaii_spark.queries import ast  # noqa: F401
-from yaii_spark.queries.bm25 import bm25_topk  # noqa: F401
+from yaii_spark.queries.bm25 import (  # noqa: F401
+    bm25_topk,
+    bm25f_topk,
+    more_like_this,
+)
+from yaii_spark.queries.highlight import snippets  # noqa: F401
 from yaii_spark.queries.executor import (  # noqa: F401
     cache_filter,
     execute_boolean,
