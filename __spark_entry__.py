@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 Thin wrapper over yaii_spark.entrypoint — the PySpark-native
-inverted-index + BM25 engine (see SURVEY.md). All 60 queries() entries
+inverted-index + BM25 engine (see SURVEY.md). All 61 queries() entries
 have a matching oracle_sql() DuckDB statement. Highlights by round:
 r2 q_simhash (md5-family bit-sign sums restated in SQL) and q_ann_lsh
 (hyperplane constants embedded as SQL literals); r3 q_ts_range
@@ -31,7 +31,9 @@ text^1.0 + _all^0.5 over the multi-source index — per-field tf/df/idf
 restated from first principles in SQL, weighted saturation sums under
 the shared text-length norm), and q_mlt (more-like-this: the source
 doc's top-5 tf·idf terms re-queried as disjunctive BM25, term
-selection AND scoring restated in SQL).
+selection AND scoring restated in SQL), and q_bm25_batch (a 3-query
+workload scored in ONE postings pass — per-query identity with
+bm25_topk makes the oracle a UNION of the single-query SQLs).
 
 The driver's recorded-correctness artifact caps at 50 queries per
 round; queries() is head-rotated each round (entrypoint.queries

@@ -403,3 +403,39 @@ def test_more_like_this(corpus):
     assert_topk_equal(got, want)
     with pytest.raises(ValueError):
         more_like_this(cat, 10**9)
+
+
+def test_bm25_batch_matches_single(corpus):
+    """bm25_topk_batch: one postings pass for a whole query batch —
+    per-query output must be rank- AND score-identical (exact float
+    equality: same sorted-term summation) to bm25_topk per query; a
+    query with only absent terms simply yields no rows."""
+    from yaii_spark.queries.bm25 import bm25_topk_batch
+
+    cat, oracle = corpus
+    common, rare = _freq_ordered_terms(oracle)
+    qs = {
+        "a": [common[0]],
+        "b": [common[0], rare[0]],
+        "c": [rare[0], rare[3]],
+        "miss": ["zzzznotaterm"],
+    }
+    by_q = {}
+    for r in bm25_topk_batch(cat, qs, k=10).collect():
+        by_q.setdefault(r.query_id, []).append(r)
+    assert "miss" not in by_q
+    for qid in ("a", "b", "c"):
+        single = bm25_topk(cat, qs[qid], k=10).collect()
+        got = sorted(by_q[qid], key=lambda r: (-r.score, r.doc_id))
+        assert [(r.doc_id, r.score) for r in got] == [
+            (r.doc_id, r.score) for r in single
+        ], qid
+    # conjunctive mode through the batch path
+    gota = sorted(
+        bm25_topk_batch(cat, {"x": [common[0], rare[0]]}, k=10, mode="and").collect(),
+        key=lambda r: (-r.score, r.doc_id),
+    )
+    single_and = bm25_topk(cat, [common[0], rare[0]], k=10, mode="and").collect()
+    assert [(r.doc_id, r.score) for r in gota] == [
+        (r.doc_id, r.score) for r in single_and
+    ]

@@ -32,6 +32,7 @@ from yaii_spark.indexer import (  # noqa: F401
 from yaii_spark.queries import ast  # noqa: F401
 from yaii_spark.queries.bm25 import (  # noqa: F401
     bm25_topk,
+    bm25_topk_batch,
     bm25f_topk,
     more_like_this,
 )

@@ -35,7 +35,12 @@ from yaii_spark.ops.aggregations import (
     agg_numeric_buckets,
 )
 from yaii_spark.queries import ast as A
-from yaii_spark.queries.bm25 import bm25_topk, bm25f_topk, more_like_this
+from yaii_spark.queries.bm25 import (
+    bm25_topk,
+    bm25_topk_batch,
+    bm25f_topk,
+    more_like_this,
+)
 from yaii_spark.queries.executor import execute_boolean, search
 from yaii_spark.storage import FORMAT_VERSION, IndexCatalog, read_table
 
@@ -304,6 +309,19 @@ def q_bm25f(spark, sf_dir):
     shared text-length norm."""
     cat = get_index(spark, sf_dir, variant="multi_all")
     out = bm25f_topk(cat, ["dup", "src7"], {"text": 1.0, "_all": 0.5}, k=10)
+    return _round(out, "score")
+
+
+def q_bm25_batch(spark, sf_dir):
+    """A 3-query workload scored in ONE postings pass
+    (bm25_topk_batch): per-query results are identical to bm25_topk,
+    so the oracle is the UNION of the three single-query SQL
+    restatements tagged with their query ids."""
+    out = bm25_topk_batch(
+        get_index(spark, sf_dir),
+        {"rare": ["dup"], "mixed": ["dup", "batch"], "pair": ["batch", "small"]},
+        k=10,
+    )
     return _round(out, "score")
 
 
@@ -743,7 +761,7 @@ def queries():
     q_events_windowed — judge-verified green out-of-band) lead the dict
     this round, and every query NEW in r5 (q_token_bool,
     q_ann_ivf_pruned, q_vocab_top_terms, q_snippets, q_prefix, q_bm25f,
-    q_mlt, q_facets) sits inside the first-50 window; the 10 tail
+    q_mlt, q_bm25_batch, q_facets) sits inside the first-50 window; the 10 tail
     entries past the cap were all recorded green in CORRECTNESS_r04.
     Across rounds the head rotates so every registered query lands in a
     recorded artifact (VERDICT r4 #2). Every entry still runs in
@@ -803,6 +821,7 @@ def queries():
         "q_bm25_pruned": _bm25_q(["dup", "batch", "small"], prune=True),
         "q_bm25f": q_bm25f,
         "q_mlt": q_mlt,
+        "q_bm25_batch": q_bm25_batch,
         # aggregations (A1-A5)
         "q_count_filtered": q_count_filtered,
         "q_first": q_first,
@@ -1001,6 +1020,13 @@ scores AS (
   GROUP BY tf.doc_id)
 SELECT doc_id, round(s, 6) AS score FROM scores
 WHERE doc_id != 42 ORDER BY s DESC, doc_id ASC LIMIT 10""",
+        # batch == per-query identity, so the oracle is the UNION of
+        # the single-query restatements tagged with query ids
+        "q_bm25_batch": (
+            f"SELECT 'rare' AS query_id, * FROM ({_bm25_sql(['dup'], 10, 'or')}) "
+            f"UNION ALL SELECT 'mixed', * FROM ({_bm25_sql(['dup', 'batch'], 10, 'or')}) "
+            f"UNION ALL SELECT 'pair', * FROM ({_bm25_sql(['batch', 'small'], 10, 'or')})"
+        ),
         "q_count_filtered": f"WITH {_TOK_CTE} SELECT count(*) AS n_docs FROM tok WHERE {_contains_sql('dup')}",
         "q_first": "SELECT doc_id, n_chars FROM documents ORDER BY n_chars ASC, doc_id ASC LIMIT 1",
         "q_first_multi": "SELECT doc_id, lang, n_chars FROM documents "

@@ -746,3 +746,158 @@ def more_like_this(
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(k)
     )
+
+
+def _score_segment_batch(
+    pdf: pd.DataFrame,
+    qterms: dict[str, list[str]],
+    idfs: dict[str, float],
+    k1: float,
+    b: float,
+    avgdl: float,
+    k: int,
+    mode: str,
+    block: int,
+    deleted: np.ndarray | None = None,
+) -> pd.DataFrame:
+    """One decode pass shared by every query in the batch: each present
+    term's postings decode ONCE into (local ids, idf·saturation)
+    contribution arrays, then each query sums its own terms' arrays —
+    per-query float summation order is the same sorted-term order as
+    the single-query scorer, so scores are byte-identical to
+    bm25_topk run per query."""
+    n_docs = int(pdf["n_docs"].iloc[0])
+    base = int(pdf["base_doc_id"].iloc[0])
+    dls = varint_decode(pdf["dl_bin"].iloc[0]).astype(np.float64)
+    decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    for t, ids_b, tfs_b in zip(pdf["term"], pdf["doc_ids_bin"], pdf["tfs_bin"]):
+        if t not in idfs or t in decoded:
+            continue
+        ids = delta_decode_blocked(ids_b or b"", block).astype(np.int64) - base
+        tfs = varint_decode(tfs_b or b"").astype(np.float64)
+        contrib = idfs[t] * (
+            tfs / (tfs + k1 * (1.0 - b + b * dls[ids] / avgdl))
+        )
+        decoded[t] = (ids, contrib)
+    out_q, out_d, out_s = [], [], []
+    dead = None
+    if deleted is not None:
+        dead = np.zeros(n_docs, dtype=bool)
+        dead[deleted - base] = True
+    for qid in sorted(qterms):
+        uniq = sorted(set(qterms[qid]))
+        present = [t for t in uniq if t in decoded]
+        if not present or (mode == "and" and len(present) < len(uniq)):
+            continue
+        scores = np.zeros(n_docs, dtype=np.float64)
+        hits = np.zeros(n_docs, dtype=np.int32)
+        for t in present:  # sorted order → deterministic float sums
+            ids, contrib = decoded[t]
+            scores[ids] += contrib
+            hits[ids] += 1
+        if dead is not None:
+            hits[dead] = 0
+        need = len(uniq) if mode == "and" else 1
+        cand = np.flatnonzero(hits >= need)
+        if cand.size == 0:
+            continue
+        s = scores[cand]
+        if cand.size > k:
+            thresh = np.partition(-s, k - 1)[k - 1]
+            keep = np.flatnonzero(-s <= thresh)
+            cand, s = cand[keep], s[keep]
+        order = np.lexsort((cand, -s))[:k]
+        out_q.extend([qid] * order.size)
+        out_d.extend((cand[order] + base).tolist())
+        out_s.extend(s[order].tolist())
+    return pd.DataFrame(
+        {
+            "query_id": pd.Series(out_q, dtype="object"),
+            "doc_id": pd.Series(out_d, dtype="int64"),
+            "score": pd.Series(out_s, dtype="float64"),
+        }
+    )
+
+
+def bm25_topk_batch(
+    cat: IndexCatalog,
+    queries: dict[str, list[str]],
+    k: int = 10,
+    mode: str = "or",
+    field: str = "text",
+) -> DataFrame:
+    """Score a BATCH of queries in ONE pass over the postings —
+    the 100-TB workload pattern: a query log of thousands amortizes
+    the postings scan, the seg_meta broadcast, and the scheduler
+    overhead across the batch instead of paying one Spark job per
+    query. Returns (query_id, doc_id, score), per-query top-k.
+
+    Plan: the UNION of every query's (field, term) pairs is pushed
+    into one postings read (same row-group-pruned scan as a single
+    query), each segment task decodes every term ONCE and reuses the
+    contribution arrays across queries, per-(segment, query) top-k in
+    the worker, then ONE window-ranked global merge partitioned by
+    query_id. Per-query output is rank- AND score-identical to
+    bm25_topk (same sorted-term summation; pinned in pytest)."""
+    from pyspark.sql import Window
+
+    spark = cat.spark
+    stats = cat.corpus_stats()
+    all_terms = sorted({t for ts in queries.values() for t in ts})
+    tstats = cat.term_stats_for([(field, t) for t in all_terms])
+    idfs = {t: idf(stats.n_docs, df) for (_, t), (df, _) in tstats.items()}
+    if not idfs:
+        return spark.createDataFrame(
+            [], "query_id string, doc_id long, score double"
+        )
+    k1, b, avgdl = stats.k1, stats.b, stats.avgdl
+    block = stats.block_size
+    qterms = {str(q): [str(t) for t in ts] for q, ts in queries.items()}
+
+    post = cat.postings([(field, t) for t in sorted(idfs)]).select(
+        "seg_id", "term", "doc_ids_bin", "tfs_bin"
+    )
+    meta = cat.seg_meta().select("seg_id", "n_docs", "base_doc_id", "dl_bin")
+    joined = post.join(meta, "seg_id", "inner")
+    tomb = cat.tombstones()
+    schema = "query_id string, doc_id long, score double"
+
+    if tomb is None:
+
+        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            if pdf.empty:
+                return pd.DataFrame(
+                    {"query_id": [], "doc_id": [], "score": []}
+                ).astype({"doc_id": "int64", "score": "float64"})
+            return _score_segment_batch(
+                pdf, qterms, idfs, k1, b, avgdl, k, mode, block, None
+            )
+
+        per_seg = joined.groupBy("seg_id").applyInPandas(fn, schema=schema)
+    else:
+
+        def fn2(pdf: pd.DataFrame, tpdf: pd.DataFrame) -> pd.DataFrame:
+            if pdf.empty:
+                return pd.DataFrame(
+                    {"query_id": [], "doc_id": [], "score": []}
+                ).astype({"doc_id": "int64", "score": "float64"})
+            deleted = (
+                tpdf["doc_id"].to_numpy(dtype=np.int64) if len(tpdf) else None
+            )
+            return _score_segment_batch(
+                pdf, qterms, idfs, k1, b, avgdl, k, mode, block, deleted
+            )
+
+        per_seg = (
+            joined.groupBy("seg_id")
+            .cogroup(tomb.select("seg_id", "doc_id").groupBy("seg_id"))
+            .applyInPandas(fn2, schema=schema)
+        )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        per_seg.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
