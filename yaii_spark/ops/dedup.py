@@ -117,6 +117,18 @@ def minhash_signatures(
     fast = hash_family == "fast"
     if not fast and hash_family != "oracle":
         raise ValueError(f"unknown hash_family: {hash_family!r}")
+    # per-TASK shingle-hash memo (closure dict — each task unpickles its
+    # own fresh copy): near-dup corpora repeat shingles heavily, and the
+    # md5 value of a shingle string is a pure function of the string —
+    # interning it is a dictionary cache, not result caching. Capped so
+    # a pathological task never grows it unboundedly.
+    _memo_cap = 1 << 21
+    md5_ = hashlib.md5
+    from_bytes = int.from_bytes
+    # defined here (not inside mh) so a task's copy persists across its
+    # Arrow batches; each task unpickles its own fresh dict, so nothing
+    # is shared across tasks or retained across queries
+    memo: dict[str, int] = {}
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def mh(texts: pd.Series) -> pd.Series:
@@ -129,10 +141,20 @@ def minhash_signatures(
                     dtype=np.int64, count=len(sh),
                 )
             else:
-                hs = np.array(
-                    [int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16) for s in sh],
-                    dtype=np.int64,
-                )
+                # int.from_bytes over digest()[:4] == int(hexdigest[:8], 16)
+                # (big-endian prefix), minus the hex-string round trip
+                if len(memo) > _memo_cap:
+                    memo.clear()
+                g = memo.get
+                vals = []
+                for s in sh:
+                    v = g(s)
+                    if v is None:
+                        v = memo[s] = from_bytes(
+                            md5_(s.encode("utf-8")).digest()[:4], "big"
+                        )
+                    vals.append(v)
+                hs = np.array(vals, dtype=np.int64)
             sig = ((a_arr * hs + b_arr) % MINHASH_PRIME).min(axis=1)
             out.append(sig.tolist())
         return pd.Series(out, index=texts.index, dtype=object)
@@ -221,6 +243,13 @@ def simhash(
         raise ValueError(f"unknown hash_family: {hash_family!r}")
     fast = hash_family == "fast"
     shifts = np.arange(bits, dtype=np.uint64)
+    # per-task token-hash memo (see minhash_signatures): a corpus's
+    # token vocabulary is tiny relative to its token stream, so the md5
+    # per DISTINCT TOKEN collapses to a dict probe after warmup
+    _memo_cap = 1 << 21
+    md5_ = hashlib.md5
+    from_bytes = int.from_bytes
+    memo: dict[str, int] = {}
 
     @F.pandas_udf(T.LongType())
     def sh(texts: pd.Series) -> pd.Series:
@@ -239,13 +268,19 @@ def simhash(
                     (zlib.crc32(b, 1) for b in enc), dtype=np.uint64, count=len(enc)
                 )
             else:
-                hs = np.fromiter(
-                    (
-                        int(hashlib.md5(t.encode("utf-8")).hexdigest()[:16], 16)
-                        for t in toks
-                    ),
-                    dtype=np.uint64, count=len(toks),
-                )
+                # int.from_bytes(digest()[:8]) == int(hexdigest[:16], 16)
+                if len(memo) > _memo_cap:
+                    memo.clear()
+                g = memo.get
+                vals = []
+                for t in toks:
+                    v = g(t)
+                    if v is None:
+                        v = memo[t] = from_bytes(
+                            md5_(t.encode("utf-8")).digest()[:8], "big"
+                        )
+                    vals.append(v)
+                hs = np.array(vals, dtype=np.uint64)
             # bits matrix: (n_toks, 64) of ±1, tf-weighted column sum
             bitmat = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
             acc = (tfs[:, None] * (bitmat * 2 - 1)).sum(axis=0)

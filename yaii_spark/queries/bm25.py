@@ -838,7 +838,15 @@ def bm25_topk_batch(
     contribution arrays across queries, per-(segment, query) top-k in
     the worker, then ONE window-ranked global merge partitioned by
     query_id. Per-query output is rank- AND score-identical to
-    bm25_topk (same sorted-term summation; pinned in pytest)."""
+    bm25_topk (same sorted-term summation; pinned in pytest).
+
+    Known limitation (shared with bm25f_topk): unlike bm25_topk, this
+    path does not apply the over-compaction doc-id-range fan-out
+    (_apply_range_split_bm25), so on an index merged below
+    defaultParallelism segments it parallelizes only by segment. The
+    batch workload itself usually restores utilization (many queries
+    per task); wire the range split in if a merged index must serve
+    small batches."""
     from pyspark.sql import Window
 
     spark = cat.spark
@@ -852,7 +860,14 @@ def bm25_topk_batch(
         )
     k1, b, avgdl = stats.k1, stats.b, stats.avgdl
     block = stats.block_size
-    qterms = {str(q): [str(t) for t in ts] for q, ts in queries.items()}
+    # explicit broadcast variable, not task-closure capture: at the
+    # thousands-of-query workloads this function is for, the query
+    # structures are re-serialized into EVERY task closure (once per
+    # task, per stage) when captured — a broadcast ships them to each
+    # executor once and the closure carries only the handle
+    qb = spark.sparkContext.broadcast(
+        ({str(q): [str(t) for t in ts] for q, ts in queries.items()}, idfs)
+    )
 
     post = cat.postings([(field, t) for t in sorted(idfs)]).select(
         "seg_id", "term", "doc_ids_bin", "tfs_bin"
@@ -869,8 +884,9 @@ def bm25_topk_batch(
                 return pd.DataFrame(
                     {"query_id": [], "doc_id": [], "score": []}
                 ).astype({"doc_id": "int64", "score": "float64"})
+            qterms_b, idfs_b = qb.value
             return _score_segment_batch(
-                pdf, qterms, idfs, k1, b, avgdl, k, mode, block, None
+                pdf, qterms_b, idfs_b, k1, b, avgdl, k, mode, block, None
             )
 
         per_seg = joined.groupBy("seg_id").applyInPandas(fn, schema=schema)
@@ -884,8 +900,9 @@ def bm25_topk_batch(
             deleted = (
                 tpdf["doc_id"].to_numpy(dtype=np.int64) if len(tpdf) else None
             )
+            qterms_b, idfs_b = qb.value
             return _score_segment_batch(
-                pdf, qterms, idfs, k1, b, avgdl, k, mode, block, deleted
+                pdf, qterms_b, idfs_b, k1, b, avgdl, k, mode, block, deleted
             )
 
         per_seg = (

@@ -689,6 +689,32 @@ def _eval_token_tree(cat: IndexCatalog, node: A.Node) -> DataFrame:
     # the selective-phrase slicer already ships a tiny candidate subset
     # of the streams; range-splitting on top would only re-cut it
     range_plan = _range_split_plan(cat) if slice_plan is None else None
+    if range_plan is not None and not os.environ.get(
+        "YAII_RANGE_SPLIT", ""
+    ).strip().isdigit():
+        # work gate (the boolean analogue of bm25's
+        # RANGE_SPLIT_MIN_POSTINGS): splitting replicates every posting
+        # row R ways and pays a per-row block-slice pass, which only
+        # amortizes when each range task has real decode work. Estimate
+        # per-task volume from the memoized term dictionary — positions
+        # (cf) for phrase terms, doc postings (df) for plain tokens,
+        # n_docs for universe-building nodes (NOT/ALL) — all driver-side
+        # and job-free. Thresholds from the r4/r5 1M-doc probes: dense
+        # phrases gained 2-3× at ~150k positions/task while sub-65k
+        # tasks lost to the slice overhead; pure set algebra needs ~1M
+        # postings/task before one segment per task is too coarse.
+        cs = cat.corpus_stats()
+        n_segs = max(1, -(-cs.n_docs // cs.seg_size))
+        stats = cat.term_stats_for(sorted(terms)) if terms else {}
+        vol = 0.0
+        for ft, (df_, cf_) in stats.items():
+            vol += float(cf_ if ft in phrase_terms else df_)
+        if scans or _needs_universe(node):
+            vol += float(cs.n_docs)
+        per_task = vol / n_segs / range_plan[0]
+        min_per_task = (1 << 16) if phrase_terms else (1 << 20)
+        if per_task < min_per_task:
+            range_plan = None
     cols = (
         ["seg_id", "field", "term", "doc_ids_bin"]
         + (["tfs_bin", "pos_bin", "block_pos_offs"] if want_pos else [])

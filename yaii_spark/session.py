@@ -39,6 +39,23 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # floor for AQE's post-shuffle coalescing: this engine's shuffles
+        # carry compressed binary blobs (posting streams) whose DECODE
+        # work per byte is far above ordinary columnar data, so the
+        # byte-proxy AQE uses would happily coalesce a CPU-heavy pandas
+        # stage to one task. 64k keeps small-but-hot stages wide while
+        # still folding away truly empty partitions; at cluster data
+        # sizes partitions are far above this floor and behavior is
+        # unchanged (guide §2.2 — partition sizing is a *target*, and
+        # the default 1m proxy mis-sizes high-work-per-byte stages).
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+        # scan parallelism floor: aim for >= cores splits per scan so a
+        # single multi-row-group file (e.g. one 126 MB parquet written
+        # by an upstream single task) does not serialize the whole read
+        # on one core. Scale-adaptive by construction: inputs that
+        # already produce more splits than cores are untouched
+        # (guide §6 "Input split size" / §2.5 input skew).
+        .config("spark.sql.files.minPartitionNum", str(shuffle_partitions))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
