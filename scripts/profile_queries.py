@@ -69,6 +69,9 @@ def main() -> None:
             plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
             with open(os.path.join(plans_dir, f"{name}_{args.plans}.txt"), "w") as f:
                 f.write(plan)
+        if args.repeats == 0:  # plans-only mode
+            out[name] = {"median": 0.0, "min": 0.0, "runs": []}
+            continue
         df.collect()  # warm
         runs = []
         for _ in range(args.repeats):

@@ -446,3 +446,66 @@ def test_multi_source_all_field(spark, work_dir):
     # the single-source 'text' field is untouched by the multi-source map
     assert got(A.token("omega", "text")) == set()
     assert got(A.token("alpha", "text")) == {0}
+
+
+def test_batched_group_encoder_matches_per_row_codec():
+    """_encode_group_batched (one codec pass over a whole (seg, shard)
+    group) must emit byte-identical posting rows to the straightforward
+    per-row codec calls it replaced — randomized posting shapes incl.
+    multi-block rows, multi-byte varints, and empty position lists."""
+    import math
+    import random
+
+    import numpy as np
+
+    from yaii_spark.codec import (
+        block_offsets_from_lengths,
+        delta_encode_blocked,
+        varint_encode_blocked,
+    )
+    from yaii_spark.indexer import BLOCK_SIZE, _encode_group_batched, _tf_norm
+
+    rng = random.Random(7)
+    field_names = ["_all", "text"]
+    avgdl, k1, b = 37.5, 1.2, 0.75
+    items = []
+    for r in range(40):
+        n = rng.choice([1, 2, 5, BLOCK_SIZE - 1, BLOCK_SIZE, BLOCK_SIZE + 3, 3 * BLOCK_SIZE + 17])
+        ids = sorted(rng.sample(range(0, 1 << 21), n))  # multi-byte deltas
+        tfs = [rng.choice([1, 2, 3, 127, 128, 300]) for _ in range(n)]
+        dls = [rng.randint(1, 200) for _ in range(n)]
+        poss = [bytes(rng.randrange(256) for _ in range(rng.randint(0, 6))) for _ in range(n)]
+        items.append(((r % 2, f"t{r:03d}".encode()), (ids, tfs, dls, poss)))
+
+    got = _encode_group_batched(11, items, field_names, avgdl, k1, b)
+    assert len(got) == len(items)
+    for j, ((fid, term), (ids, tfs, dls, poss)) in enumerate(items):
+        row = got.iloc[j]
+        ids_a = np.array(ids, dtype=np.uint64)
+        tfs_a = np.array(tfs, dtype=np.uint64)
+        norms = _tf_norm(tfs_a, np.array(dls, dtype=np.int64), avgdl, k1, b)
+        ids_bin, id_offs = delta_encode_blocked(ids_a, BLOCK_SIZE)
+        tfs_bin, tf_offs = varint_encode_blocked(tfs_a, BLOCK_SIZE)
+        nblocks = math.ceil(len(ids) / BLOCK_SIZE)
+        assert row["seg_id"] == 11
+        assert row["field"] == field_names[fid]
+        assert row["term"] == term.decode()
+        assert row["df_local"] == len(ids)
+        assert row["cf_local"] == sum(tfs)
+        assert bytes(row["doc_ids_bin"]) == ids_bin
+        assert bytes(row["tfs_bin"]) == tfs_bin
+        assert bytes(row["pos_bin"]) == b"".join(poss)
+        assert row["block_id_offs"] == [int(x) for x in id_offs]
+        assert row["block_tf_offs"] == [int(x) for x in tf_offs]
+        assert row["block_first_ids"] == [int(x) for x in ids_a[::BLOCK_SIZE]]
+        assert row["block_pos_offs"] == [
+            int(x)
+            for x in block_offsets_from_lengths(
+                np.array([len(p) for p in poss], dtype=np.int64), BLOCK_SIZE
+            )
+        ]
+        assert row["block_maxes"] == [
+            float(norms[i * BLOCK_SIZE : (i + 1) * BLOCK_SIZE].max())
+            for i in range(nblocks)
+        ]
+        assert row["max_norm"] == float(norms.max())

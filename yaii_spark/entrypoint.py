@@ -228,15 +228,6 @@ def _tbl(spark, sf_dir, name) -> DataFrame:
     return read_table(spark, os.path.join(sf_dir, f"{name}.parquet"))
 
 
-def _events(spark, sf_dir) -> DataFrame:
-    """Events table behind the same unsplittable-single-file guard as
-    `_docs`: the sf events parquet is one single-row-group file, so
-    without the gated repartition every aggregation over it (grouping,
-    count_distinct) runs its post-scan work on one core."""
-    p = os.path.join(sf_dir, "events.parquet")
-    return _spread(read_table(spark, p), p)
-
-
 # SQL fragments -------------------------------------------------------------
 
 _TOK_CTE = (
@@ -791,7 +782,7 @@ def q_events_windowed(spark, sf_dir):
     """Event-time tumbling-window aggregation (§2.6 — the batch form of
     the streaming windowed-ingest operator): Spark `F.window` buckets
     align to the epoch exactly like DuckDB's time_bucket."""
-    e = _events(spark, sf_dir)
+    e = _tbl(spark, sf_dir, "events")
     return (
         e.groupBy(F.window("ts", "1 day").alias("w"))
         .agg(
@@ -803,7 +794,7 @@ def q_events_windowed(spark, sf_dir):
 
 
 def q_events_by_type(spark, sf_dir):
-    e = _events(spark, sf_dir)
+    e = _tbl(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),

@@ -71,6 +71,7 @@ from yaii_spark.codec import (
     encode_positions_blocked,
     varint_encode,
     varint_encode_blocked,
+    varint_lengths,
 )
 from yaii_spark.storage import (
     fs_delete,
@@ -173,12 +174,110 @@ def _make_segment_encoder(avgdl: float, k1: float, b: float):
     return encode
 
 
+def _encode_group_batched(
+    seg: int,
+    items: list,
+    field_names: list[str],
+    avgdl: float,
+    k1: float,
+    b: float,
+) -> pd.DataFrame:
+    """Encode every (field, term) posting row of one (segment, shard)
+    group with ONE codec pass over the concatenated arrays.
+
+    The per-row form (delta_encode_blocked + varint_encode_blocked per
+    posting list) spends ~100s of µs of fixed numpy overhead per call;
+    at 10^5 posting rows per build that overhead IS the encode stage
+    (guide §1.2 step 2 — per-task work). Here ids/tfs/norms of all rows
+    concatenate, delta restarts land at every row start and every
+    in-row block boundary, and one varint_lengths + varint_encode pass
+    serves the whole group; per-row bytes are then slices of the group
+    stream. Output is byte-identical to the per-row form because LEB128
+    is a per-value code — pinned by tests/test_index_build.py's
+    encoder-parity test.
+
+    `items`: [((fid, term_bytes), (ids, tfs, dls, pos_blobs)), ...]
+    with each row's ids sorted ascending (doc_id processing order)."""
+    out = {
+        "seg_id": [], "field": [], "term": [], "df_local": [], "cf_local": [],
+        "doc_ids_bin": [], "tfs_bin": [], "pos_bin": [],
+        "block_maxes": [], "max_norm": [],
+        "block_id_offs": [], "block_tf_offs": [], "block_first_ids": [],
+        "block_pos_offs": [],
+    }
+    nrows = len(items)
+    if nrows == 0:
+        return pd.DataFrame(out)
+    counts = np.fromiter((len(e[0]) for _, e in items), dtype=np.int64, count=nrows)
+    total = int(counts.sum())
+    row_ends = np.cumsum(counts)
+    row_starts = row_ends - counts
+    ids_all = np.empty(total, dtype=np.uint64)
+    tfs_all = np.empty(total, dtype=np.uint64)
+    dls_all = np.empty(total, dtype=np.int64)
+    plen_all = np.empty(total, dtype=np.int64)
+    for j, (_, (ids, tfs, dls, poss)) in enumerate(items):
+        s, e = row_starts[j], row_ends[j]
+        ids_all[s:e] = ids
+        tfs_all[s:e] = tfs
+        dls_all[s:e] = dls
+        plen_all[s:e] = [len(p) for p in poss]
+    # delta stream with absolute restarts at every (row, block) start
+    pos_in_row = np.arange(total, dtype=np.int64) - np.repeat(row_starts, counts)
+    restart = (pos_in_row % BLOCK_SIZE) == 0
+    restart_idx = np.flatnonzero(restart)
+    deltas = np.empty_like(ids_all)
+    deltas[0] = ids_all[0]
+    np.subtract(ids_all[1:], ids_all[:-1], out=deltas[1:])
+    deltas[restart] = ids_all[restart]
+    id_lens = varint_lengths(deltas)
+    id_bytes = varint_encode(deltas)
+    id_ends = np.cumsum(id_lens)
+    id_voffs = id_ends - id_lens  # byte offset of each value in the stream
+    tf_lens = varint_lengths(tfs_all)
+    tf_bytes = varint_encode(tfs_all)
+    tf_ends = np.cumsum(tf_lens)
+    tf_voffs = tf_ends - tf_lens
+    pl_ends = np.cumsum(plen_all)
+    pl_voffs = pl_ends - plen_all
+    norms = _tf_norm(tfs_all, dls_all, avgdl, k1, b)
+    # one reduceat per metric: segments are exactly the (row, block)
+    # chunks (restart_idx) / the rows (row_starts), both strictly
+    # increasing and < total
+    bmax_all = np.maximum.reduceat(norms, restart_idx)
+    max_norm_all = np.maximum.reduceat(norms, row_starts)
+    cf_all = np.add.reduceat(tfs_all.astype(np.int64), row_starts)
+    nblocks = (counts + BLOCK_SIZE - 1) // BLOCK_SIZE
+    bm_ends = np.cumsum(nblocks)
+    bm_starts = bm_ends - nblocks
+    for j, ((fid, term), _) in enumerate(items):
+        s, e = row_starts[j], row_ends[j]
+        rblocks = restart_idx[bm_starts[j] : bm_ends[j]]
+        ib0, tb0, pb0 = id_voffs[s], tf_voffs[s], pl_voffs[s]
+        out["seg_id"].append(seg)
+        out["field"].append(field_names[fid])
+        out["term"].append(term.decode("utf-8"))
+        out["df_local"].append(int(counts[j]))
+        out["cf_local"].append(int(cf_all[j]))
+        out["doc_ids_bin"].append(id_bytes[ib0 : id_ends[e - 1]])
+        out["tfs_bin"].append(tf_bytes[tb0 : tf_ends[e - 1]])
+        out["pos_bin"].append(b"".join(items[j][1][3]))
+        out["block_maxes"].append([float(x) for x in bmax_all[bm_starts[j] : bm_ends[j]]])
+        out["max_norm"].append(float(max_norm_all[j]))
+        out["block_id_offs"].append([int(x) for x in id_voffs[rblocks] - ib0])
+        out["block_tf_offs"].append([int(x) for x in tf_voffs[rblocks] - tb0])
+        out["block_first_ids"].append([int(x) for x in ids_all[rblocks]])
+        out["block_pos_offs"].append([int(x) for x in pl_voffs[rblocks] - pb0])
+    return pd.DataFrame(out)
+
+
 def _make_packed_encoder(field_names: list[str], avgdl: float, k1: float, b: float):
     """Per-(segment, shard) posting builder over packed per-doc blobs
     (analyzer.doc_postings layout). Rows are processed in doc_id order,
     so each (field, term)'s doc ids accumulate already sorted; position
     bytes are concatenated verbatim (LEB128 deltas are concat-safe —
-    identical bytes to codec.encode_positions)."""
+    identical bytes to codec.encode_positions). Codec work is batched
+    across the whole group (_encode_group_batched)."""
 
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id", kind="mergesort")
@@ -218,41 +317,9 @@ def _make_packed_encoder(field_names: list[str], avgdl: float, k1: float, b: flo
                 e[1].append(tf)
                 e[2].append(dl)
                 e[3].append(pos)
-        out = {
-            "seg_id": [], "field": [], "term": [], "df_local": [], "cf_local": [],
-            "doc_ids_bin": [], "tfs_bin": [], "pos_bin": [],
-            "block_maxes": [], "max_norm": [],
-            "block_id_offs": [], "block_tf_offs": [], "block_first_ids": [],
-            "block_pos_offs": [],
-        }
-        for (fid, term), (ids, tfs, dls, poss) in acc.items():
-            ids_a = np.array(ids, dtype=np.uint64)
-            tfs_a = np.array(tfs, dtype=np.uint64)
-            dls_a = np.array(dls, dtype=np.int64)
-            norms = _tf_norm(tfs_a, dls_a, avgdl, k1, b)
-            nblocks = math.ceil(ids_a.size / BLOCK_SIZE)
-            bmax = [
-                float(norms[i * BLOCK_SIZE : (i + 1) * BLOCK_SIZE].max())
-                for i in range(nblocks)
-            ]
-            out["seg_id"].append(seg)
-            out["field"].append(field_names[fid])
-            out["term"].append(term.decode("utf-8"))
-            out["df_local"].append(int(ids_a.size))
-            out["cf_local"].append(int(tfs_a.sum()))
-            _encode_blocked(out, ids_a, tfs_a)
-            out["pos_bin"].append(b"".join(poss))
-            # per-doc blobs are already encoded — block offsets are just
-            # the blob-length cumsum sampled at block starts
-            out["block_pos_offs"].append(
-                [int(x) for x in block_offsets_from_lengths(
-                    np.fromiter((len(p) for p in poss), dtype=np.int64, count=len(poss)),
-                    BLOCK_SIZE,
-                )]
-            )
-            out["block_maxes"].append(bmax)
-            out["max_norm"].append(float(norms.max()) if norms.size else 0.0)
-        return pd.DataFrame(out)
+        return _encode_group_batched(
+            seg, list(acc.items()), field_names, avgdl, k1, b
+        )
 
     return encode
 
@@ -597,7 +664,7 @@ def build_index(
     b: float = DEFAULT_B,
     resume: bool = True,
     max_segments: int | None = None,
-    postings_shards: int = 16,
+    postings_shards: int | None = None,
     append: bool = False,
     _geometry_checked: bool = False,
 ) -> dict:
@@ -637,6 +704,14 @@ def build_index(
     # every micro-batch for the same invariant
     if append and not _geometry_checked:
         _check_append_geometry(spark, out_dir, seg_size)
+    if postings_shards is None:
+        # shards exist to bound one encode task's memory to ~64k docs'
+        # postings; small segments don't need the split, and each extra
+        # shard multiplies the explode+shuffle row count (one packed row
+        # per (doc, shard)) and the pandas group count. 2^20-doc
+        # segments keep the historical 16 shards; ≤64k-doc segments
+        # collapse to one group per segment.
+        postings_shards = max(1, min(16, seg_size // 65536))
     t0 = time.time()
     # a non-resuming build over an existing index dir must not inherit
     # stale partitions: dynamic overwrite only replaces seg_ids present

@@ -160,8 +160,15 @@ def write_ann_index(
 
     if method == "lsh":
         df = with_lsh_bucket(emb, dim, n_planes, seed, vec_col)
+        # hash-repartition on the partition column before the
+        # partitioned write: otherwise every upstream task writes a
+        # file into every bucket dir (tasks × buckets tiny files — the
+        # many-small-files trap, guide §6), and each query probe then
+        # opens tasks× as many files. One exchange keyed like the
+        # layout → one file per bucket dir.
         write_table(
-            df.select(id_col, vec_col, "lsh_bucket"), out_dir,
+            df.select(id_col, vec_col, "lsh_bucket").repartition("lsh_bucket"),
+            out_dir,
             partition_by=["lsh_bucket"],
         )
     elif method == "ivf":
@@ -169,7 +176,8 @@ def write_ann_index(
             raise ValueError("method='ivf' needs trained centroids")
         df = with_ivf_cell(emb, centroids, vec_col, with_dot=True)
         write_table(
-            df.select(id_col, vec_col, "ivf_cell"), out_dir,
+            df.select(id_col, vec_col, "ivf_cell").repartition("ivf_cell"),
+            out_dir,
             partition_by=["ivf_cell"],
         )
         # per-cell angular radii for the exact-pruned query — n_cells
