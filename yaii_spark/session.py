@@ -57,6 +57,15 @@ def get_spark(
         # (guide §6 "Input split size" / §2.5 input skew).
         .config("spark.sql.files.minPartitionNum", str(shuffle_partitions))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # this sandbox's host oversubscribes CPU in daily windows
+        # (BENCH/BASELINE.md): with the default 120 s network timeout a
+        # starved driver JVM drops executor heartbeats and the RPC
+        # cascade kills the whole session mid-run. Long timeouts trade
+        # failure-detection latency (irrelevant in local mode — there
+        # is no other node to fail over to) for survival under
+        # starvation.
+        .config("spark.network.timeout", "600s")
+        .config("spark.executor.heartbeatInterval", "60s")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
