@@ -35,12 +35,18 @@ selection AND scoring restated in SQL), and q_bm25_batch (a 3-query
 workload scored in ONE postings pass — per-query identity with
 bm25_topk makes the oracle a UNION of the single-query SQLs).
 
+r6 is the optimization round: no new queries, every query's results
+frozen (61/61 oracle-green re-verified after each change batch), and
+the engine behind them made faster — see OPTIMIZATION_r06.md for the
+measured before/after evidence and plans/r06/ for the physical plans.
+
 The driver's recorded-correctness artifact caps at 50 queries per
 round; queries() is head-rotated each round (entrypoint.queries
 docstring) so every registered entry lands in a recorded artifact —
-r5 leads with q_events_by_type / q_events_windowed (the two entries
-CORRECTNESS_r04.json missed) and the new q_token_bool /
-q_ann_ivf_pruned / q_vocab_top_terms / q_snippets.
+r6 leads with the 11 entries past r5's cap (q_cosine_topk, q_ann_lsh,
+q_ann_ivf_full, q_embedding_neardup, q_token_counts, q_quality,
+q_lang_id, q_fingerprint, q_tpch_q1, q_revenue_by_nation,
+q_window_top2_orders).
 """
 
 from __future__ import annotations
