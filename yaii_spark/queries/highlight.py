@@ -39,7 +39,12 @@ def snippets(
     spaces. Matching is index-driven (exact adjacency, slop=0); the
     UDF only locates the first occurrence inside docs the index
     already proved to match, so the snippet is non-null by
-    construction when `field` is analyzed from `text_col`."""
+    construction when `field` is analyzed from `text_col` with the
+    default tokenizer. If `field` was built with a DIFFERENT analyzer
+    (or from another source column), the index can prove a match the
+    re-analysis pass cannot locate — that mismatch now raises loudly
+    from the snippet task instead of silently emitting
+    (doc_id, NULL) rows (ADVICE r5)."""
     if not terms:
         raise ValueError("snippets: terms must be non-empty")
     t = [str(x).lower() for x in terms]
@@ -61,11 +66,16 @@ def snippets(
                 ),
                 None,
             )
-            out.append(
-                " ".join(toks[max(0, i - window) : i + k + window])
-                if i is not None
-                else None
-            )
+            if i is None:
+                raise RuntimeError(
+                    "snippets: index-proven phrase "
+                    f"{t!r} not found when re-tokenizing the stored "
+                    f"{text_col!r} column — the queried field was "
+                    "likely built with a non-default analyzer or from "
+                    "a different source column; snippets() requires "
+                    "the default tokenization of text_col"
+                )
+            out.append(" ".join(toks[max(0, i - window) : i + k + window]))
         return pd.Series(out, dtype="object")
 
     return joined.select("doc_id", snip(F.col(text_col)).alias("snippet"))

@@ -333,13 +333,18 @@ def make_append_committer(index_dir: str, seg_size: int = 1 << 20, **build_kwarg
                 if int(agg.n) > 0 and int(agg.n) == int(agg.n_span):
                     complete = True
                     start = int(agg.mx)
+            min_seg = None
             if not complete:
                 if IndexCatalog(sp, index_dir).exists():
-                    mx = (
+                    mn, mx = (
                         read_table(sp, f"{index_dir}/seg_meta")
-                        .agg(F.max(F.col("seg_id").cast("long")))
-                        .collect()[0][0]
+                        .agg(
+                            F.min(F.col("seg_id").cast("long")),
+                            F.max(F.col("seg_id").cast("long")),
+                        )
+                        .collect()[0]
                     )
+                    min_seg = int(mn)
                     start = (int(mx) + 1) * seg_size
                 else:
                     start = 0
@@ -358,6 +363,26 @@ def make_append_committer(index_dir: str, seg_size: int = 1 << 20, **build_kwarg
                 # allocated contiguously), the last at this batch's
                 # scan-derived start
                 old = sorted(led.collect(), key=lambda r: int(r.start_id))
+                # the span derivation assumes every appended range was
+                # ledgered contiguously; segments that predate the first
+                # ledgered range prove an out-of-band append, and the
+                # backfill would silently fold them into a neighbor's
+                # span — cross-check against the seg_meta min aggregate
+                # (already read above) and fail loudly instead
+                # (ADVICE r5)
+                if (
+                    old
+                    and min_seg is not None
+                    and min_seg * seg_size < int(old[0].start_id)
+                ):
+                    raise RuntimeError(
+                        "sink_ledger backfill: index has segments from "
+                        f"doc id {min_seg * seg_size} but the earliest "
+                        f"ledgered range starts at {int(old[0].start_id)}"
+                        " — the index was appended outside this sink, "
+                        "so ledger spans cannot be derived; rebuild the "
+                        "ledger or the index"
+                    )
                 nexts = [int(r.start_id) for r in old[1:]] + [int(start)]
                 rows = [
                     (int(r.batch_id), int(r.start_id), e)
