@@ -465,6 +465,19 @@ def _filter_by_seg_ids(df: DataFrame, segs: list[int]) -> DataFrame:
     return df.join(F.broadcast(seg_df), "seg_id", "left_semi")
 
 
+def _labeled(spark: SparkSession, desc: str, fn, *args, **kwargs):
+    """Run fn under a thread-local Spark job description (guide §1.3:
+    label your jobs). The build fans its independent writes out over a
+    thread pool; descriptions are per-thread (pinned-thread mode), so
+    each concurrent job carries its own attribution in the UI/REST."""
+    sc = spark.sparkContext
+    sc.setJobDescription(desc)
+    try:
+        return fn(*args, **kwargs)
+    finally:
+        sc.setJobDescription(None)
+
+
 def _seg_stats_df(spark: SparkSession, out_dir: str, segs: list[int] | None) -> DataFrame:
     """(seg_id, n_docs, sum_dl) rows for `segs` (None = every durable
     segment) — the stats_ledger payload. Distributed: n_docs comes from
@@ -537,12 +550,20 @@ def _write_term_stats_full(spark: SparkSession, out_dir: str, post_all: DataFram
         post_all.groupBy("field", "term")
         .agg(F.sum("df_local").alias("df"), F.sum("cf_local").alias("cf"))
         .withColumn("bucket", term_stats_bucket_col())
-        # task count follows spark.sql.shuffle.partitions (several
-        # buckets per task is fine — pruning is by directory); leading
-        # the in-task sort with `bucket` satisfies the partitioned
-        # writer's required ordering, so no writer-side re-sort destroys
-        # the (field, term) row-group order
-        .repartition("bucket")
+        # EXPLICIT task count (spark.sql.shuffle.partitions — several
+        # buckets per task is fine, pruning is by directory): a bare
+        # repartition("bucket") lets AQE coalesce this tiny-bytes
+        # shuffle to ONE task, which then writes all 256 bucket dirs
+        # sequentially (~3 s straggler measured at bench scale — file
+        # open/footer cost, not data). Pinning the count keeps the
+        # partitioned write cores-wide; at dictionary scale (10^8-10^9
+        # rows) the byte sizes would prevent the collapse anyway.
+        # Leading the in-task sort with `bucket` satisfies the
+        # partitioned writer's required ordering, so no writer-side
+        # re-sort destroys the (field, term) row-group order.
+        .repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")), "bucket"
+        )
         .sortWithinPartitions("bucket", "field", "term")
     )
     marker = os.path.join(out_dir, "stats_folding")
@@ -629,7 +650,17 @@ def _fold_term_stats_body(spark, out_dir, new_segs, delta) -> None:
         try:
             write_table(
                 read_table(spark, tmp_path)
-                .repartition("bucket")
+                # explicit count for the same reason as the full path:
+                # AQE would coalesce the tiny shuffle to one task and
+                # serialize the per-bucket-dir file writes; bounded by
+                # the touched-bucket count so no empty write tasks spin
+                .repartition(
+                    max(1, min(
+                        len(touched),
+                        int(spark.conf.get("spark.sql.shuffle.partitions")),
+                    )),
+                    "bucket",
+                )
                 .sortWithinPartitions("bucket", "field", "term"),
                 ts_path,
                 partition_by=["bucket"],
@@ -799,11 +830,14 @@ def build_index(
     docs = docs.persist()
 
     # ---- corpus stats + segment list in ONE job (stable across resumes) ----
-    stats_row = docs.agg(
-        F.count("*").alias("n"),
-        F.avg("dl").alias("avgdl"),
-        F.collect_set("seg_id").alias("segs"),
-    ).collect()[0]
+    stats_row = _labeled(
+        spark, "build:tokenize+stats",
+        lambda: docs.agg(
+            F.count("*").alias("n"),
+            F.avg("dl").alias("avgdl"),
+            F.collect_set("seg_id").alias("segs"),
+        ).collect(),
+    )[0]
     n_total = int(stats_row["n"])
     if n_total == 0:
         # an upstream filter that matched nothing: fail loudly instead
@@ -975,14 +1009,17 @@ def build_index(
         with ThreadPoolExecutor(max_workers=3) as pool:
             futs = [
                 pool.submit(
+                    _labeled, spark, "build:docs-write",
                     write_table, docs_df, os.path.join(out_dir, "docs"),
                     partition_by=["seg_id"],
                 ),
                 pool.submit(
+                    _labeled, spark, "build:seg-meta-write",
                     write_table, meta_df, os.path.join(out_dir, "seg_meta"),
                     partition_by=["seg_id"],
                 ),
                 pool.submit(
+                    _labeled, spark, "build:postings-write",
                     write_table,
                     enc.repartition("seg_id").sortWithinPartitions("field", "term"),
                     os.path.join(out_dir, "postings"),
@@ -998,12 +1035,24 @@ def build_index(
         # path must never rescan the whole index), the full cached read
         # in batch mode where the term-stats recompute needs it anyway.
         # Lineage rows are written distributed (no per-segment collect —
-        # at 10^6 segments the driver never materializes the counts)
+        # at 10^6 segments the driver never materializes the counts).
+        # Both consumers (seg_counts, _write_term_stats_full) aggregate
+        # only these five narrow columns — project BEFORE caching so the
+        # read-back scan prunes the posting/position blob columns (the
+        # overwhelming majority of the table's bytes) and the cache
+        # holds stats-sized rows, not the whole index
+        _STATS_COLS = ["seg_id", "field", "term", "df_local", "cf_local"]
         if append:
-            post_scope = _scoped_postings(spark, out_dir, pending).cache()
+            post_scope = (
+                _scoped_postings(spark, out_dir, pending)
+                .select(*_STATS_COLS).cache()
+            )
             seg_counts_src = post_scope
         else:
-            post_scope = read_table(spark, os.path.join(out_dir, "postings")).cache()
+            post_scope = (
+                read_table(spark, os.path.join(out_dir, "postings"))
+                .select(*_STATS_COLS).cache()
+            )
             seg_counts_src = post_scope.join(
                 F.broadcast(pend_df), "seg_id", "left_semi"
             )
@@ -1104,9 +1153,12 @@ def build_index(
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=2) as pool:
-        futs = [pool.submit(_ts_task)]
+        futs = [pool.submit(_labeled, spark, "build:term-stats", _ts_task)]
         if ck is not None:
-            futs.append(pool.submit(write_table, ck, ckpt_path, mode=ck_mode))
+            futs.append(pool.submit(
+                _labeled, spark, "build:lineage",
+                write_table, ck, ckpt_path, mode=ck_mode,
+            ))
         for f in futs:
             f.result()
     if append:
