@@ -137,6 +137,40 @@ def test_term_stats_bucketed_pushdown(spark, work_dir):
     assert 0 <= b < TERM_STATS_BUCKETS
 
 
+def test_term_stats_write_layout_and_values(spark, work_dir):
+    """Invariants of the cores-wide dictionary write (the explicit
+    repartition count that keeps AQE from collapsing the tiny stats
+    shuffle to one task): each hash bucket must still land WHOLE in one
+    write task — one file per bucket dir, so the in-bucket (field,
+    term) row-group order the point-lookup pruning relies on survives —
+    and the column-pruned postings read-back must produce term_stats
+    identical to a direct aggregate of the postings table."""
+    import glob
+    import os
+
+    idx = f"{work_dir}/ts_wide"
+    build_index(
+        spark, gen_pages(spark, 500, include_fixtures=True), idx, seg_size=100
+    )
+    bucket_dirs = glob.glob(os.path.join(idx, "term_stats", "bucket=*"))
+    assert bucket_dirs  # partitioned layout present
+    for d in bucket_dirs:
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1, f"bucket split across write tasks: {d}"
+    want = {
+        (r.field, r.term): (r.df, r.cf)
+        for r in spark.read.parquet(os.path.join(idx, "postings"))
+        .groupBy("field", "term")
+        .agg(F.sum("df_local").alias("df"), F.sum("cf_local").alias("cf"))
+        .collect()
+    }
+    got = {
+        (r.field, r.term): (r.df, r.cf)
+        for r in spark.read.parquet(os.path.join(idx, "term_stats")).collect()
+    }
+    assert got == want
+
+
 def test_no_giant_in_list_for_pending_segments(spark, work_dir, monkeypatch):
     """No physical plan the build executes may carry a literal
     In(seg_id, [...]) / INSET list over the pending segments —
