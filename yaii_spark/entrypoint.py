@@ -760,7 +760,18 @@ def q_fingerprint(spark, sf_dir):
 
 
 def q_tpch_q1(spark, sf_dir):
-    li = _tbl(spark, sf_dir, "lineitem")
+    # _spread: lineitem yields only as many splits as it has row groups
+    # (3 at sf0.1) — fewer than cores — and Q1's four decimal(28,4)
+    # sums are the dominant per-row cost (measured 0.83 s on the 3-task
+    # scan vs 0.57 s spread to 8, the shuffle included). Result-safe by
+    # construction: decimal aggregation is exact integer arithmetic, so
+    # partitioning cannot change any sum (oracle hash re-checked). At
+    # cluster scale the scan out-splits the cores and _spread is a
+    # no-op, like the document/embedding scans (guide §2.5).
+    li = _spread(
+        _tbl(spark, sf_dir, "lineitem"),
+        os.path.join(sf_dir, "lineitem.parquet"),
+    )
     dec = lambda c: F.col(c).cast("decimal(18,4)")
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
     return (
